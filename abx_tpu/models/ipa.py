@@ -1,0 +1,281 @@
+"""Invariant Point Attention + the diffusion structure module (IpaScore).
+
+Parity surface: /root/reference/abx/model/folding.py:23-132 (IPA) and
+/root/reference/abx/model/score_network.py (IpaScore): 8 shared-weight IPA
+layers over the *noisy* rigids `rigids_t`, per-layer 6-DoF affine updates with
+fixed-residue snap-back, and rotation/translation scores computed through the
+diffuser's closed forms.
+
+TPU notes: the point attention runs in f32 (distance terms are precision
+sensitive); scalar/pair attention can run in the configured compute dtype.
+Frame applications use the high-precision einsum path in geometry.rigid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abx_tpu.geometry import quat as quat_ops
+from abx_tpu.geometry.rigid import Rigid
+from abx_tpu.models.modules import LayerNorm, Linear
+from abx_tpu.models.seqformer import BIG_NEG
+
+
+class InvariantPointAttention(nn.Module):
+    config: Any  # IPA config
+    dtype: Any = jnp.float32
+    dist_epsilon: float = 1e-8
+
+    @nn.compact
+    def __call__(self, inputs_1d, inputs_2d, mask, rigids: Rigid):
+        c = self.config
+        h = c.num_head
+        nsq, npq = c.num_scalar_qk, c.num_point_qk
+        nsv, npv = c.num_scalar_v, c.num_point_v
+
+        scalar_variance = max(nsq, 1) * 1.0
+        point_variance = max(npq, 1) * 9.0 / 2
+        num_logit_terms = 3
+        scalar_weights = np.sqrt(1.0 / (num_logit_terms * scalar_variance))
+        point_weights = np.sqrt(1.0 / (num_logit_terms * point_variance))
+        attention_2d_weights = np.sqrt(1.0 / num_logit_terms)
+
+        b, l, _ = inputs_1d.shape
+
+        q_scalar = Linear(h * nsq, init='attn', dtype=self.dtype,
+                          name='proj_q_scalar')(inputs_1d)
+        q_scalar = q_scalar.reshape(b, l, h, nsq).transpose(0, 2, 1, 3)
+        kv_scalar = Linear(h * (nsv + nsq), init='attn', dtype=self.dtype,
+                           name='proj_kv_scalar')(inputs_1d)
+        kv_scalar = kv_scalar.reshape(b, l, h, nsv + nsq).transpose(0, 2, 1, 3)
+        k_scalar, v_scalar = jnp.split(kv_scalar, [nsq], axis=-1)
+
+        attn_qk_scalar = jnp.einsum('bhic,bhjc->bhij',
+                                    q_scalar * scalar_weights, k_scalar)
+
+        # Point branch in f32: layout (r n) -> points stored as 3 blocks.
+        q_point_local = Linear(3 * h * npq, init='attn', dtype=jnp.float32,
+                               name='proj_q_point_local')(inputs_1d)
+        q_point_local = q_point_local.reshape(b, l, 3, h * npq).transpose(
+            0, 1, 3, 2)  # (b, l, h*npq, 3)
+        kv_point_local = Linear(3 * h * (npv + npq), init='attn',
+                                dtype=jnp.float32,
+                                name='proj_kv_point_local')(inputs_1d)
+        kv_point_local = kv_point_local.reshape(
+            b, l, 3, h * (npv + npq)).transpose(0, 1, 3, 2)
+
+        q_point_global = rigids.apply(q_point_local)   # (b, l, h*npq, 3)
+        kv_point_global = rigids.apply(kv_point_local)
+        q_point = q_point_global.reshape(b, l, h, npq, 3)
+        kv_point = kv_point_global.reshape(b, l, h, npv + npq, 3)
+        k_point, v_point = jnp.split(kv_point, [npq], axis=-2)
+
+        dist2 = jnp.sum(
+            jnp.square(q_point[:, :, None] - k_point[:, None]), axis=[-1, -2])
+        # (b, i, j, h)
+        tpw = self.param('trainable_point_weights',
+                         lambda key, shape: jnp.log(jnp.exp(
+                             jnp.full(shape, 1.0)) - 1.0), (h,))
+        pw = -0.5 * point_weights * jax.nn.softplus(tpw)
+        attn_qk_point = jnp.moveaxis(pw * dist2, -1, 1)  # (b, h, i, j)
+
+        attn_logits = attn_qk_scalar.astype(jnp.float32) + attn_qk_point
+
+        attention_2d = Linear(h, init='attn', dtype=self.dtype,
+                              name='proj_pair')(inputs_2d)
+        attn_logits = attn_logits + attention_2d_weights * jnp.moveaxis(
+            attention_2d, -1, 1).astype(jnp.float32)
+
+        mask_2d = mask[:, None, :, None] * mask[:, None, None, :]
+        attn_logits = attn_logits + (1.0 - mask_2d) * BIG_NEG
+
+        attn = jax.nn.softmax(attn_logits, axis=-1)  # (b, h, i, j) f32
+
+        result_scalar = jnp.einsum(
+            'bhij,bhjc->bhic', attn.astype(self.dtype), v_scalar)
+        result_scalar = result_scalar.transpose(0, 2, 1, 3).reshape(
+            b, l, h * nsv)
+        outputs = [result_scalar]
+
+        result_point_global = jnp.einsum('bhij,bjhnr->bhinr', attn, v_point)
+        result_point_global = result_point_global.transpose(
+            0, 2, 1, 3, 4).reshape(b, l, h * npv, 3)
+        result_point_local = rigids.invert().apply(result_point_global)
+        # (r n) flatten: x-components of all points, then y, then z.
+        outputs.append(result_point_local.transpose(0, 1, 3, 2).reshape(
+            b, l, 3 * h * npv).astype(self.dtype))
+        outputs.append(jnp.sqrt(
+            jnp.sum(jnp.square(result_point_local), axis=-1)
+            + self.dist_epsilon).astype(self.dtype))
+
+        result_2d = jnp.einsum('bhij,bijc->bhic', attn.astype(self.dtype),
+                               inputs_2d)
+        outputs.append(result_2d.transpose(0, 2, 1, 3).reshape(
+            b, l, h * inputs_2d.shape[-1]))
+
+        final_act = jnp.concatenate(outputs, axis=-1)
+        return Linear(c.num_channel, init='final', dtype=self.dtype,
+                      name='final_proj')(final_act)
+
+
+class TorsionModule(nn.Module):
+    """ResNet torsion predictor (reference sidechain.py:28-53)."""
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, act, init_act):
+        c = self.config
+        act = Linear(c.num_channel, init='linear', dtype=self.dtype,
+                     name='proj_act')(nn.relu(act))
+        act = act + Linear(c.num_channel, init='linear', dtype=self.dtype,
+                           name='proj_init_act')(nn.relu(init_act))
+        for i in range(c.num_residual_block):
+            res = nn.relu(act)
+            res = Linear(c.num_channel, init='relu', dtype=self.dtype,
+                         name=f'block_{i}_linear1')(res)
+            res = nn.relu(res)
+            res = Linear(c.num_channel, init='final', dtype=self.dtype,
+                         name=f'block_{i}_linear2')(res)
+            act = act + res
+        angles = Linear(14, init='linear', dtype=self.dtype,
+                        name='projection')(nn.relu(act))
+        return angles.reshape(angles.shape[:-1] + (7, 2))
+
+
+class IpaScore(nn.Module):
+    """Structure module over noisy rigids, emitting SE(3) scores.
+
+    `diffuser` is a JointDiffuser (static; its tables become XLA constants).
+    """
+    config: Any  # heads.diffusion_module config
+    diffuser: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, representations, batch, deterministic=True):
+        c = self.config.IPA
+        seq_act = representations['seq']
+        pair_act = representations['pair']
+        b, l = batch['seq_t'].shape
+
+        node_mask = batch['mask'].astype(jnp.float32)
+        fixed_mask = batch['fixed_mask'].astype(jnp.float32)
+        init_rigids7 = batch['rigids_t'].astype(jnp.float32)
+        init_quats = init_rigids7[..., :4]
+        init_trans = init_rigids7[..., 4:]
+
+        pair_channel = self.config.edge_embed_size
+
+        seq_act = Linear(c.num_channel, init='linear', dtype=self.dtype,
+                         name='proj_init_seq_act')(seq_act)
+        pair_act = Linear(pair_channel, init='linear', dtype=self.dtype,
+                          name='proj_init_pair_act')(pair_act)
+        seq_act = LayerNorm(dtype=self.dtype, name='init_seq_norm')(seq_act)
+        pair_act = LayerNorm(dtype=self.dtype, name='init_pair_norm')(pair_act)
+
+        initial_seq_act = seq_act
+        seq_act = Linear(c.num_channel, init='linear', dtype=self.dtype,
+                         name='proj_seq')(seq_act)
+
+        ipa = InvariantPointAttention(c, dtype=self.dtype, name='ipa')
+        attn_norm = LayerNorm(dtype=self.dtype, name='attention_norm')
+        transition_layers = [
+            Linear(c.num_channel,
+                   init='linear' if k == c.num_layer_in_transition - 1
+                   else 'final',
+                   dtype=self.dtype, name=f'transition_{k}')
+            for k in range(c.num_layer_in_transition)]
+        transition_norm = LayerNorm(dtype=self.dtype, name='transition_norm')
+        affine_update = Linear(6, init='final', dtype=self.dtype,
+                               name='affine_update')
+        torsion = TorsionModule(c.torsion, dtype=self.dtype,
+                                name='torsion_module')
+
+        delta_quat = quat_ops.identity_quat((b, l))
+        curr_quats = init_quats
+        curr_trans = init_trans / c.position_scale
+        curr_rots = quat_ops.quat_to_rot(curr_quats)
+
+        def apply_mask(diff, fixed):
+            m = (1.0 - fixed_mask)[..., None]
+            return m * diff + (1.0 - m) * fixed
+
+        traj = []
+        for it in range(c.num_layer):
+            is_last = it == c.num_layer - 1
+            rig = Rigid(curr_rots, curr_trans)
+            seq_act = seq_act + ipa(seq_act, pair_act, node_mask, rig)
+            if not deterministic:
+                seq_act = nn.Dropout(c.dropout)(
+                    seq_act, deterministic=False,
+                    rng=self.make_rng('dropout'))
+            seq_act = attn_norm(seq_act)
+
+            res = seq_act
+            for k, layer in enumerate(transition_layers):
+                res = layer(res)
+                if k < len(transition_layers) - 1:
+                    res = nn.relu(res)
+            seq_act = seq_act + res
+            if not deterministic:
+                seq_act = nn.Dropout(c.dropout)(
+                    seq_act, deterministic=False,
+                    rng=self.make_rng('dropout'))
+            seq_act = transition_norm(seq_act)
+
+            update = affine_update(seq_act).astype(jnp.float32)
+            quat_update, trans_update = jnp.split(update, 2, axis=-1)
+            delta_quat = quat_ops.quat_precompose_vec(delta_quat, quat_update)
+            curr_quats = quat_ops.quat_precompose_vec(curr_quats, quat_update)
+            curr_trans = Rigid(curr_rots, curr_trans).apply(trans_update)
+
+            curr_quats = apply_mask(curr_quats, init_quats)
+            curr_trans = apply_mask(curr_trans,
+                                    init_trans / c.position_scale)
+            curr_rots = quat_ops.quat_to_rot(curr_quats)
+
+            traj.append(Rigid(curr_rots, curr_trans * c.position_scale))
+
+            if is_last:
+                unnorm_angles = torsion(seq_act, initial_seq_act)
+                angles = unnorm_angles / jnp.sqrt(jnp.sum(
+                    jnp.square(unnorm_angles), axis=-1, keepdims=True)
+                    + 1e-12)
+                # Fixed residues keep ground-truth torsions.
+                gt_torsions = batch['torsion_angles_sin_cos']
+                fm = fixed_mask[..., None, None]
+                angles = jnp.where(fm > 0, gt_torsions, angles)
+                unnorm_angles = jnp.where(fm > 0, gt_torsions, unnorm_angles)
+            else:
+                curr_rots = jax.lax.stop_gradient(curr_rots)
+                curr_quats = jax.lax.stop_gradient(curr_quats)
+                delta_quat = jax.lax.stop_gradient(delta_quat)
+
+        # Net rotation relative to the input rigids.
+        curr_quats_final = quat_ops.quat_multiply(init_quats, delta_quat)
+        curr_quats_final = apply_mask(curr_quats_final, init_quats)
+
+        t = batch['t']
+        rot_score = self.diffuser.calc_quat_score(
+            init_quats, curr_quats_final, t)
+        trans_score = self.diffuser.calc_trans_score(
+            init_trans, curr_trans * c.position_scale, t)
+
+        rigids_out = jnp.concatenate(
+            [curr_quats_final, curr_trans * c.position_scale], axis=-1)
+
+        return {
+            'traj': traj,
+            'angles_sin_cos': angles,
+            'unnormalized_angles_sin_cos': unnorm_angles,
+            'trans_score': trans_score,
+            'rot_score': rot_score,
+            'structure_act': seq_act,
+            'rigids': rigids_out,
+        }

@@ -1,0 +1,116 @@
+"""Shared flax building blocks with AF2 initialization schemes.
+
+Parity surface: /root/reference/abx/model/common_modules.py — the five Linear
+init schemes (gate/final/attn/relu/linear), LayerNorm, and shared-broadcast
+dropout.  Implemented as flax.linen modules; compute dtype is configurable so
+the trunk can run bf16 on the MXU while parameters stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+TRUNC_NORMAL_STD_FACTOR = 0.87962566103423978  # E[|trunc N(0,1)|^2]^-1/2
+
+
+def af2_initializer(init: str):
+    """Weight initializer named after the AF2 scheme."""
+    if init in ('gate', 'final'):
+        return nn.initializers.zeros
+    if init == 'attn':
+        return nn.initializers.glorot_uniform()
+    if init in ('relu', 'linear'):
+        scale = 2.0 if init == 'relu' else 1.0
+
+        def trunc_init(key, shape, dtype=jnp.float32):
+            fan_in = shape[0]
+            std = np.sqrt(scale / fan_in) / TRUNC_NORMAL_STD_FACTOR
+            # truncated at 2 std like torch.nn.init.trunc_normal_.
+            return std * random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+        return trunc_init
+    raise ValueError(f'unknown init {init}')
+
+
+class Linear(nn.Module):
+    """Dense layer with AF2 init semantics (weights stored (in, out))."""
+    features: int
+    init: str = 'linear'
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', af2_initializer(self.init),
+                            (x.shape[-1], self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias_init = (nn.initializers.ones if self.init == 'gate'
+                         else nn.initializers.zeros)
+            bias = self.param('bias', bias_init, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in f32 regardless of compute dtype."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32,
+                           dtype=jnp.float32)(x.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """Stack of Linear+ReLU; mirrors the reference's nn.Sequential patterns."""
+    features: tuple
+    inits: tuple
+    final_activation: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.features)
+        for i, (f, init) in enumerate(zip(self.features, self.inits)):
+            x = Linear(f, init=init, dtype=self.dtype)(x)
+            if i < n - 1 or self.final_activation:
+                x = nn.relu(x)
+        return x
+
+
+def shared_dropout(x, rate: float, deterministic: bool, rng,
+                   broadcast_dim: Optional[int] = None):
+    """Dropout with an optionally broadcast (shared) axis.
+
+    Matches reference `apply_dropout` (common_modules.py:47-60): when
+    `broadcast_dim` is given, the keep mask is shared along that axis (AF2
+    row/column dropout).
+    """
+    if deterministic or rate == 0.0:
+        return x
+    shape = list(x.shape)
+    if broadcast_dim is not None:
+        shape[broadcast_dim] = 1
+    keep = random.bernoulli(rng, 1.0 - rate, tuple(shape))
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def get_timestep_embedding(timesteps, embedding_dim: int,
+                           max_positions: int = 10000):
+    """Sinusoidal time embedding (reference seqformer.py:49-65)."""
+    timesteps = timesteps * max_positions
+    half_dim = embedding_dim // 2
+    emb = np.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb

@@ -1,0 +1,144 @@
+"""Top-level score network with recycling.
+
+Parity surface: /root/reference/abx/model/abx.py — ScoreNetworkIteration
+(trunk + ordered heads) wrapped by recycling (2 no-grad passes feeding back
+prev_pos/prev_seq/prev_pair and the predicted sequence, then a final pass).
+
+TPU design: one flax module whose `__call__` runs the recycle passes inline
+with `stop_gradient` (statically unrolled — num_recycle is 2); the whole
+forward jits to a single XLA computation that the sampler `lax.scan`s over
+the diffusion time axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from abx_tpu.geometry import frames as frame_ops
+from abx_tpu.models.heads import (DistogramHead, PredictedLDDTHead,
+                                  SequenceHead, rebuild_atoms)
+from abx_tpu.models.ipa import IpaScore
+from abx_tpu.models.seqformer import EmbeddingAndSeqformer
+
+
+def get_prev(batch, outputs, prev_pos_config) -> Dict[str, jnp.ndarray]:
+    """Recycling features from a forward pass (reference abx.py:17-26)."""
+    atom37 = outputs['heads']['folding']['final_atom_positions']
+    pb = frame_ops.pseudo_beta_virtual(atom37)
+    prev_pos = frame_ops.dgram_from_positions(
+        pb, prev_pos_config.num_bins, prev_pos_config.min_bin,
+        prev_pos_config.max_bin)
+    return {
+        'prev_pos': jax.lax.stop_gradient(prev_pos),
+        'prev_seq': jax.lax.stop_gradient(
+            outputs['representations']['seq']),
+        'prev_pair': jax.lax.stop_gradient(
+            outputs['representations']['pair']),
+    }
+
+
+def zero_prev(batch_size: int, num_res: int, config) -> Dict[str, jnp.ndarray]:
+    c = config.embeddings_and_seqformer
+    seq_ch = c.seq_channel + c.index_embed_size
+    pair_ch = c.pair_channel + 2 * c.index_embed_size
+    return {
+        'prev_pos': jnp.zeros((batch_size, num_res, num_res), jnp.int32),
+        'prev_seq': jnp.zeros((batch_size, num_res, seq_ch)),
+        'prev_pair': jnp.zeros((batch_size, num_res, num_res, pair_ch)),
+    }
+
+
+class ScoreNetworkIteration(nn.Module):
+    """One trunk pass + heads (reference abx.py:28-63)."""
+    config: Any          # model config
+    diffuser: Any
+    antibody_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, esm_embedding=None, compute_loss=False,
+                 deterministic=True):
+        c = self.config
+        seq_act, pair_act = EmbeddingAndSeqformer(
+            c.embeddings_and_seqformer, antibody_len=self.antibody_len,
+            dtype=self.dtype, name='seqformer')(
+            batch, esm_embedding=esm_embedding, deterministic=deterministic)
+        representations = {'seq': seq_act, 'pair': pair_act}
+        ret = {'representations': representations, 'heads': {}}
+
+        folding = IpaScore(c.heads.diffusion_module, diffuser=self.diffuser,
+                           dtype=self.dtype, name='diffusion_module')(
+            representations, batch, deterministic=deterministic)
+
+        seq_out = SequenceHead(c.heads.sequence_module, dtype=self.dtype,
+                               name='sequence_module')(
+            folding['structure_act'], batch)
+
+        # Rebuild all atoms with the predicted sequence (head.py:171-199).
+        atoms = rebuild_atoms(seq_out['seq_0'], folding['rigids'],
+                              folding['angles_sin_cos'], batch)
+        folding.update(atoms)
+        folding['representations'] = {'structure_module':
+                                      folding['structure_act']}
+
+        ret['heads']['folding'] = folding
+        ret['heads']['sequence_module'] = seq_out
+
+        plddt_out = PredictedLDDTHead(
+            c.heads.predicted_lddt, dtype=self.dtype,
+            name='predicted_lddt')(folding['structure_act'])
+        ret['heads']['predicted_lddt'] = plddt_out
+
+        if compute_loss:
+            ret['heads']['distogram'] = DistogramHead(
+                c.heads.distogram, dtype=self.dtype, name='distogram')(
+                representations['pair'])
+        return ret
+
+
+class ScoreNetwork(nn.Module):
+    """Recycling wrapper (reference abx.py:66-104).
+
+    Inference runs `num_recycle` extra stop-gradient passes; the recycle
+    count is static so the passes unroll into one jitted computation.
+    """
+    config: Any
+    diffuser: Any
+    antibody_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, esm_fn=None, compute_loss=False,
+                 deterministic=True, num_recycle: Optional[int] = None):
+        c = self.config
+        if num_recycle is None:
+            num_recycle = c.num_recycle
+        batch = dict(batch)
+        b, l = batch['seq'].shape
+        if 'prev_seq' not in batch:
+            batch.update(zero_prev(b, l, c))
+
+        impl = ScoreNetworkIteration(
+            c, diffuser=self.diffuser, antibody_len=self.antibody_len,
+            dtype=self.dtype, name='impl')
+
+        def esm_embed():
+            if esm_fn is None:
+                return None
+            return esm_fn(batch['seq_t'][:, :self.antibody_len])
+
+        for _ in range(num_recycle):
+            ret = impl(batch, esm_embedding=esm_embed(), compute_loss=False,
+                       deterministic=deterministic)
+            prev = get_prev(batch, ret,
+                            c.embeddings_and_seqformer.prev_pos)
+            batch.update(prev)
+            batch['seq_t'] = jax.lax.stop_gradient(
+                ret['heads']['sequence_module']['seq_0'])
+
+        return impl(batch, esm_embedding=esm_embed(),
+                    compute_loss=compute_loss, deterministic=deterministic)

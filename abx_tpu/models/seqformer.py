@@ -1,0 +1,405 @@
+"""Seqformer trunk: single+pair representation evolution.
+
+Parity surface: /root/reference/abx/model/seqformer.py — SeqAttentionWithPair-
+Bias, Transition, ESMFold-style OuterProductMean (prod ‖ diff), Triangle-
+Multiplication (out/in), TriangleAttention (start/end), block-diagonal
+antibody/antigen pair assembly, sinusoidal timestep embedding, and recycling
+injection.
+
+TPU notes:
+  * All attention/triangle contractions are batched einsums that XLA maps onto
+    the MXU; masks are additive-bias style (no boolean masked_fill) so the
+    kernels fuse.  An optional Pallas fused-triangle path lives in
+    abx_tpu/ops and is dispatched by `abx_tpu.ops.registry`.
+  * Dropout uses flax RNG collections; inference passes deterministic=True
+    so the whole trunk is side-effect free and scan-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from abx_tpu.common import residue_constants as rc
+from abx_tpu.models.encoder import (PairEmbedding, ResidueEmbedding,
+                                    TokenEmbedding)
+from abx_tpu.models.modules import (MLP, LayerNorm, Linear,
+                                    get_timestep_embedding, shared_dropout)
+
+BIG_NEG = -1e9
+
+
+def pair_concat(pair_1, pair_2):
+    """Block-diagonal pair assembly (reference seqformer.py:24-45)."""
+    b, l1, _, c = pair_1.shape
+    l2 = pair_2.shape[1]
+    top = jnp.concatenate(
+        [pair_1, jnp.zeros((b, l1, l2, c), pair_1.dtype)], axis=2)
+    bottom = jnp.concatenate(
+        [jnp.zeros((b, l2, l1, c), pair_2.dtype), pair_2], axis=2)
+    return jnp.concatenate([top, bottom], axis=1)
+
+
+class GatedAttention(nn.Module):
+    """Multi-head attention with optional pair bias, gating and key mask.
+
+    Equivalent to reference `Attention` (seqformer.py:228-312) with the
+    fused-QKV (`split_first=False`) and split projections both supported.
+    Operates on (B, S, Q, C) where S is a broadcast "rows" axis.
+    """
+    key_dim: int
+    value_dim: int
+    output_dim: int
+    num_head: int
+    gating: bool = True
+    split_first: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_data, k_data=None, bias=None, k_mask=None):
+        h = self.num_head
+        key_dim = self.key_dim // h
+        value_dim = self.value_dim // h
+
+        if self.split_first:
+            assert k_data is not None
+            q = Linear(self.key_dim, init='attn', use_bias=False,
+                       dtype=self.dtype, name='proj_q')(q_data)
+            k = Linear(self.key_dim, init='attn', use_bias=False,
+                       dtype=self.dtype, name='proj_k')(k_data)
+            v = Linear(self.value_dim, init='attn', use_bias=False,
+                       dtype=self.dtype, name='proj_v')(k_data)
+        else:
+            assert k_data is None
+            qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
+                         dtype=self.dtype, name='proj_in')(q_data)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t, d):
+            return t.reshape(t.shape[:-1] + (h, d)).swapaxes(-2, -3)
+
+        q, k, v = heads(q, key_dim), heads(k, key_dim), heads(v, value_dim)
+        q = q * (key_dim ** -0.5)
+
+        logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)
+        if bias is not None:
+            # bias: (B, H, Q, K), shared over the rows axis.
+            logits = logits + bias[:, None].astype(logits.dtype)
+        if k_mask is not None:
+            # k_mask: (B, S, K) -> additive mask.
+            neg = (1.0 - k_mask[:, :, None, None, :]) * BIG_NEG
+            logits = logits + neg.astype(logits.dtype)
+
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        out = jnp.einsum('...hqk,...hkd->...hqd', weights, v)
+        out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q_data.shape[-2],
+                                                             self.value_dim))
+        if self.gating:
+            gate = nn.sigmoid(Linear(self.value_dim, init='gate',
+                                     dtype=self.dtype, name='gate')(q_data))
+            out = out * gate
+        return Linear(self.output_dim, init='final', dtype=self.dtype,
+                      name='proj_out')(out)
+
+
+class SeqAttentionWithPairBias(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, seq_act, pair_act, mask):
+        c = self.config
+        seq_act = LayerNorm(dtype=self.dtype, name='seq_norm')(seq_act)
+        pair_act = LayerNorm(dtype=self.dtype, name='pair_norm')(pair_act)
+        bias = Linear(c.num_head, init='linear', use_bias=False,
+                      dtype=self.dtype, name='proj_pair')(pair_act)
+        bias = jnp.moveaxis(bias, -1, -3)  # (B, H, L, L)
+        out = GatedAttention(
+            key_dim=seq_act.shape[-1], value_dim=seq_act.shape[-1],
+            output_dim=seq_act.shape[-1], num_head=c.num_head,
+            split_first=False, dtype=self.dtype, name='attn')(
+            seq_act[:, None], bias=bias, k_mask=mask[:, None])
+        return out[:, 0]
+
+
+class Transition(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, act, mask=None):
+        c = self.config
+        num_in = act.shape[-1]
+        act = LayerNorm(dtype=self.dtype, name='norm')(act)
+        act = Linear(num_in * c.num_intermediate_factor, init='linear',
+                     dtype=self.dtype, name='in_proj')(act)
+        act = nn.relu(act)
+        return Linear(num_in, init='final', dtype=self.dtype,
+                      name='out_proj')(act)
+
+
+class OuterProductMean(nn.Module):
+    """ESMFold-style outer product+difference (seqformer.py:380-411)."""
+    config: Any
+    num_out_channel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, act, mask):
+        c = self.config
+        mask_col = mask[..., None]
+        act = LayerNorm(dtype=self.dtype, name='norm')(act)
+        left = mask_col * Linear(c.num_outer_channel, init='linear',
+                                 dtype=self.dtype, name='left_proj')(act)
+        right = mask_col * Linear(c.num_outer_channel, init='linear',
+                                  dtype=self.dtype, name='right_proj')(act)
+        prod = left[:, None, :, :] * right[:, :, None, :]
+        diff = left[:, None, :, :] - right[:, :, None, :]
+        out = jnp.concatenate([prod, diff], axis=-1)
+        return Linear(self.num_out_channel, init='final', dtype=self.dtype,
+                      name='out_proj')(out)
+
+
+class TriangleMultiplication(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, act, mask):
+        c = self.config
+        num_in = act.shape[-1]
+        pair_mask = (mask[:, :, None, None] * mask[:, None, :, None]).astype(
+            self.dtype)
+        act = LayerNorm(dtype=self.dtype, name='norm')(act)
+        input_act = act
+
+        left = Linear(c.num_intermediate_channel, init='linear',
+                      dtype=self.dtype, name='left_proj')(act)
+        right = Linear(c.num_intermediate_channel, init='linear',
+                       dtype=self.dtype, name='right_proj')(act)
+        left = left * pair_mask
+        right = right * pair_mask
+        if c.gating:
+            left = left * nn.sigmoid(
+                Linear(c.num_intermediate_channel, init='gate',
+                       dtype=self.dtype, name='left_gate')(act))
+            right = right * nn.sigmoid(
+                Linear(c.num_intermediate_channel, init='gate',
+                       dtype=self.dtype, name='right_gate')(act))
+
+        if c.orientation == 'per_row':
+            out = jnp.einsum('bikc,bjkc->bijc', left, right)
+        else:
+            out = jnp.einsum('bkic,bkjc->bijc', left, right)
+
+        out = LayerNorm(dtype=self.dtype, name='final_norm')(out)
+        out = Linear(num_in, init='final', dtype=self.dtype,
+                     name='proj_out')(out)
+        if c.gating:
+            out = out * nn.sigmoid(
+                Linear(num_in, init='gate', dtype=self.dtype,
+                       name='final_gate')(input_act))
+        return out
+
+
+class TriangleAttention(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pair_act, seq_mask):
+        c = self.config
+        if c.orientation == 'per_column':
+            pair_act = jnp.swapaxes(pair_act, 1, 2)
+        pair_act = LayerNorm(dtype=self.dtype, name='norm')(pair_act)
+        bias = Linear(c.num_head, init='linear', use_bias=False,
+                      dtype=self.dtype, name='proj_pair')(pair_act)
+        bias = jnp.moveaxis(bias, -1, -3)
+        out = GatedAttention(
+            key_dim=pair_act.shape[-1], value_dim=pair_act.shape[-1],
+            output_dim=pair_act.shape[-1], num_head=c.num_head,
+            gating=c.gating, dtype=self.dtype, name='attn')(
+            pair_act, k_data=pair_act, bias=bias, k_mask=seq_mask[:, None])
+        if c.orientation == 'per_column':
+            out = jnp.swapaxes(out, 1, 2)
+        return out
+
+
+class SeqformerIteration(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, seq_act, pair_act, seq_mask, deterministic=True):
+        c = self.config
+
+        def dropout_fn(value, cfg):
+            if deterministic or cfg.dropout_rate == 0.0:
+                return value
+            broadcast_dim = None
+            if cfg.shared_dropout:
+                broadcast_dim = 1 if cfg.orientation == 'per_row' else 2
+            return shared_dropout(value, cfg.dropout_rate, deterministic,
+                                  self.make_rng('dropout'), broadcast_dim)
+
+        seq_act = seq_act + dropout_fn(
+            SeqAttentionWithPairBias(c.seq_attention_with_pair_bias,
+                                     dtype=self.dtype, name='seq_attn')(
+                seq_act, pair_act, seq_mask),
+            c.seq_attention_with_pair_bias)
+        seq_act = seq_act + Transition(c.seq_transition, dtype=self.dtype,
+                                       name='seq_transition')(seq_act)
+        pair_act = pair_act + OuterProductMean(
+            c.outer_product_mean, pair_act.shape[-1], dtype=self.dtype,
+            name='outer_product_mean')(seq_act, seq_mask)
+        pair_act = pair_act + dropout_fn(
+            TriangleMultiplication(c.triangle_multiplication_outgoing,
+                                   dtype=self.dtype, name='tri_mul_out')(
+                pair_act, seq_mask),
+            c.triangle_multiplication_outgoing)
+        pair_act = pair_act + dropout_fn(
+            TriangleMultiplication(c.triangle_multiplication_incoming,
+                                   dtype=self.dtype, name='tri_mul_in')(
+                pair_act, seq_mask),
+            c.triangle_multiplication_incoming)
+        pair_act = pair_act + dropout_fn(
+            TriangleAttention(c.triangle_attention_starting_node,
+                              dtype=self.dtype, name='tri_attn_start')(
+                pair_act, seq_mask),
+            c.triangle_attention_starting_node)
+        pair_act = pair_act + dropout_fn(
+            TriangleAttention(c.triangle_attention_ending_node,
+                              dtype=self.dtype, name='tri_attn_end')(
+                pair_act, seq_mask),
+            c.triangle_attention_ending_node)
+        pair_act = pair_act + Transition(c.pair_transition, dtype=self.dtype,
+                                         name='pair_transition')(pair_act)
+        return seq_act, pair_act
+
+
+class Seqformer(nn.Module):
+    config: Any  # embeddings_and_seqformer config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, seq_act, pair_act, mask, deterministic=True):
+        for i in range(self.config.seqformer_num_block):
+            block = SeqformerIteration(self.config.seqformer,
+                                       dtype=self.dtype, name=f'block_{i}')
+            seq_act, pair_act = block(seq_act, pair_act, mask,
+                                      deterministic=deterministic)
+        return seq_act, pair_act
+
+
+class TimestepEmbedder(nn.Module):
+    """Concatenate sinusoidal t embeddings to both tracks (Embedder)."""
+    index_embed_size: int
+    dtype: Any = jnp.float32
+
+    def __call__(self, seq_act, pair_act, t):
+        b, l = seq_act.shape[:2]
+        t_embed = get_timestep_embedding(t, self.index_embed_size)
+        t_embed = t_embed.astype(self.dtype)
+        seq_t = jnp.tile(t_embed[:, None, :], (1, l, 1))
+        pair_t = jnp.concatenate([
+            jnp.tile(t_embed[:, None, None, :], (1, l, l, 1)),
+            jnp.tile(t_embed[:, None, None, :], (1, l, l, 1)),
+        ], axis=-1)
+        seq_out = jnp.concatenate([seq_act, seq_t], axis=-1)
+        pair_out = jnp.concatenate([pair_act, pair_t], axis=-1)
+        return seq_out, pair_out
+
+
+class EmbeddingAndSeqformer(nn.Module):
+    """Input embedding + trunk (reference seqformer.py:123-226).
+
+    The antibody block occupies positions [0, antibody_len) and the antigen
+    block [antibody_len, L); both are statically sized (config.data).
+    """
+    config: Any          # embeddings_and_seqformer config
+    antibody_len: int    # static split point
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, esm_embedding=None, deterministic=True):
+        c = self.config
+        num_token = rc.restype_num + 3
+
+        seq_t = batch['seq_t'].astype(jnp.int32)
+        mask = batch['mask']
+        residx = batch['residx']
+        ab = slice(0, self.antibody_len)
+        ag = slice(self.antibody_len, None)
+
+        aa_embed = TokenEmbedding(num_token, c.seq_channel,
+                                  padding_idx=rc.unk_restype_index,
+                                  dtype=self.dtype, name='proj_aa_type')
+        relpos_embed = TokenEmbedding(c.max_relative_feature * 2 + 2,
+                                      c.pair_channel, dtype=self.dtype,
+                                      name='proj_rel_pos')
+
+        def rel_pos_ids(pos):
+            offset = pos[:, None, :] - pos[:, :, None]
+            return (jnp.clip(offset + c.max_relative_feature, 0,
+                             2 * c.max_relative_feature) + 1).astype(jnp.int32)
+
+        # Antibody track: noisy tokens.
+        ab_seq_act = aa_embed(seq_t[:, ab])
+        ab_pair_act = relpos_embed(rel_pos_ids(residx[:, ab]))
+
+        if c.esm.enabled:
+            layer_weights = nn.softmax(
+                self.param('esm_embed_weights', nn.initializers.zeros,
+                           (c.esm.num_layers + 1,)))
+            assert esm_embedding is not None, 'esm.enabled requires embedding'
+            esm_act = jnp.einsum('blcn,n->blc',
+                                 esm_embedding.astype(jnp.float32),
+                                 layer_weights).astype(self.dtype)
+            esm_act = LayerNorm(dtype=self.dtype, name='esm_norm')(esm_act)
+            esm_act = MLP((c.seq_channel, c.seq_channel), ('linear', 'linear'),
+                          dtype=self.dtype, name='proj_esm_embed')(esm_act)
+            ab_seq_act = ab_seq_act + esm_act
+
+        # Antigen track: clean tokens through an extra MLP.
+        ag_tokens = batch['seq'][:, ag].astype(jnp.int32)
+        ag_embed = aa_embed(ag_tokens)
+        ag_embed = LayerNorm(dtype=self.dtype, name='aa_proj_norm')(ag_embed)
+        ag_seq_act = MLP((c.seq_channel, c.seq_channel), ('linear', 'linear'),
+                         dtype=self.dtype, name='aa_proj')(ag_embed)
+        ag_pair_act = relpos_embed(rel_pos_ids(residx[:, ag]))
+
+        seq_act = jnp.concatenate([ab_seq_act, ag_seq_act], axis=1)
+        pair_act = pair_concat(ab_pair_act, ag_pair_act)
+
+        seq_act = seq_act + ResidueEmbedding(
+            c.seq_channel, dtype=self.dtype, name='encode_residue_emb')(batch)
+        pair_act = pair_act + PairEmbedding(
+            c.pair_channel,
+            dgram_num_bins=c.prev_pos.num_bins,
+            dgram_min_bin=c.prev_pos.min_bin,
+            dgram_max_bin=c.prev_pos.max_bin,
+            dtype=self.dtype, name='encode_pair_emb')(batch)
+
+        seq_act, pair_act = TimestepEmbedder(
+            c.index_embed_size, dtype=self.dtype, name='t_embedder')(
+            seq_act, pair_act, batch['t'])
+
+        if c.recycle_features and 'prev_seq' in batch:
+            seq_act = seq_act + LayerNorm(
+                dtype=self.dtype, name='prev_seq_norm')(batch['prev_seq'])
+        if c.recycle_features and 'prev_pair' in batch:
+            pair_act = pair_act + LayerNorm(
+                dtype=self.dtype, name='prev_pair_norm')(batch['prev_pair'])
+        if c.recycle_pos and 'prev_pos' in batch:
+            pair_act = pair_act + TokenEmbedding(
+                c.prev_pos.num_bins,
+                c.pair_channel + 2 * c.index_embed_size,
+                dtype=self.dtype, name='proj_prev_pos')(
+                batch['prev_pos'].astype(jnp.int32))
+
+        seq_act, pair_act = Seqformer(c, dtype=self.dtype, name='seqformer')(
+            seq_act, pair_act, mask, deterministic=deterministic)
+        return seq_act, pair_act

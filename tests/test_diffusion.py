@@ -1,0 +1,333 @@
+"""Diffusion math: closed-form unit tests + parity vs the torch reference.
+
+Parity tests import the reference implementation from /root/reference (when
+mounted) and compare tables/deterministic quantities; they are skipped in
+environments without the reference checkout.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from abx_tpu.diffusion.igso3 import SO3Config, SO3Diffuser
+from abx_tpu.diffusion.r3 import R3Config, R3Diffuser
+from abx_tpu.diffusion.discrete import DiscreteConfig, DiscreteDiffuser
+from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+
+REFERENCE = '/root/reference'
+HAS_REFERENCE = os.path.isdir(os.path.join(REFERENCE, 'diffuser'))
+
+# Small tables -> fast construction in tests.
+SMALL_SO3 = SO3Config(num_omega=200, num_sigma=100, cache_dir='/tmp/igso3_test')
+
+
+@pytest.fixture(scope='module')
+def so3():
+    return SO3Diffuser(SMALL_SO3)
+
+
+@pytest.fixture(scope='module')
+def r3():
+    return R3Diffuser(R3Config())
+
+
+@pytest.fixture(scope='module')
+def seq_diff():
+    return DiscreteDiffuser(DiscreteConfig())
+
+
+class TestSO3:
+    def test_sigma_schedule_endpoints(self, so3):
+        np.testing.assert_allclose(
+            float(so3.sigma(jnp.array(0.0))), 0.1, atol=1e-5)
+        np.testing.assert_allclose(
+            float(so3.sigma(jnp.array(1.0))), 1.5, atol=1e-5)
+
+    def test_pdf_normalized(self, so3):
+        # marginal angle pdf integrates to ~1 over (0, pi].
+        pdf = np.asarray(so3._pdf)
+        integral = pdf.sum(axis=-1) * np.pi / SMALL_SO3.num_omega
+        np.testing.assert_allclose(integral, 1.0, atol=2e-2)
+
+    def test_cdf_monotonic_and_bounded(self, so3):
+        cdf = np.asarray(so3._cdf)
+        assert np.all(np.diff(cdf, axis=-1) >= -1e-6)
+        np.testing.assert_allclose(cdf[:, -1], 1.0, atol=2e-2)
+
+    def test_sample_angle_distribution(self, so3):
+        # Large sigma -> angles concentrate away from 0 (toward uniform Haar).
+        key = jax.random.PRNGKey(0)
+        t = jnp.ones((1,))
+        rots = so3.sample(key, t, (1, 4000))
+        angles = np.linalg.norm(np.asarray(rots), axis=-1)
+        assert angles.max() <= np.pi + 1e-3
+        assert angles.mean() > 1.0  # Haar mean is ~1.97 rad
+
+    def test_score_direction(self, so3):
+        # Score should point along -v for large angles (density decreasing).
+        key = jax.random.PRNGKey(1)
+        t = 0.5 * jnp.ones((2,))
+        v = jnp.array([[[0.0, 0.0, 3.0]], [[0.0, 3.0, 0.0]]])
+        s = np.asarray(so3.score(v, t))
+        # Colinear with v.
+        cos = (s * np.asarray(v)).sum(-1) / (
+            np.linalg.norm(s, axis=-1) * np.linalg.norm(np.asarray(v), axis=-1))
+        np.testing.assert_allclose(np.abs(cos), 1.0, atol=1e-5)
+
+    def test_forward_marginal_shapes_and_finite(self, so3):
+        key = jax.random.PRNGKey(2)
+        rot_0 = 0.1 * jax.random.normal(key, (2, 8, 3))
+        t = jnp.array([0.3, 0.9])
+        rot_t, score = so3.forward_marginal(key, rot_0, t)
+        assert rot_t.shape == (2, 8, 3) and score.shape == (2, 8, 3)
+        assert np.all(np.isfinite(np.asarray(rot_t)))
+        assert np.all(np.isfinite(np.asarray(score)))
+
+    def test_reverse_step_reduces_angle(self, so3):
+        # With the score pointing back to identity and no noise, a reverse
+        # step should rotate toward identity.
+        key = jax.random.PRNGKey(3)
+        rot_t = jnp.array([[[0.0, 0.0, 1.5]]])
+        t = jnp.array([0.8])
+        score = so3.score(rot_t, t)
+        out = so3.reverse(key, rot_t, score, t, jnp.asarray(0.01),
+                          noise_scale=0.0)
+        assert np.linalg.norm(out) < 1.5
+
+
+class TestR3:
+    def test_marginal_stats(self, r3):
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((4, 2000, 3)) + 5.0
+        t = jnp.array([0.01, 0.3, 0.7, 1.0])
+        x_t, _ = r3.forward_marginal(key, x0, t)
+        x_t = r3.scale(np.asarray(x_t))
+        beta = np.asarray(r3.marginal_b_t(t))
+        want_mean = np.exp(-0.5 * beta) * 0.5  # scaled x0
+        want_var = 1 - np.exp(-beta)
+        np.testing.assert_allclose(x_t.mean(axis=(1, 2)), want_mean, atol=0.02)
+        np.testing.assert_allclose(x_t.var(axis=(1, 2)), want_var, atol=0.05)
+
+    def test_score_matches_gaussian_score(self, r3):
+        # score = -(x_t - mean)/var in scaled coords.
+        t = jnp.array([0.5])
+        x0 = jnp.array([[[1.0, 2.0, 3.0]]])
+        xt = jnp.array([[[1.5, 1.0, 2.0]]])
+        s = np.asarray(r3.score(xt, x0, t))
+        beta = float(r3.marginal_b_t(t)[0])
+        want = -(np.asarray(xt) - np.exp(-0.5 * beta) * np.asarray(x0)) / (
+            1 - np.exp(-beta))
+        np.testing.assert_allclose(s, want, atol=1e-5)
+
+    def test_calc_trans_0_inverts_score(self, r3):
+        t = jnp.array([0.4])
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 3))
+        xt = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 3))
+        score = r3.score(xt, x0, t)
+        x0_rec = np.asarray(r3.calc_trans_0(score, xt, t))
+        np.testing.assert_allclose(x0_rec, np.asarray(x0), atol=1e-4)
+
+    def test_reverse_noise_term_parity_flag(self):
+        """parity mode uses g*dt*z; corrected mode uses g*sqrt(dt)*z."""
+        key = jax.random.PRNGKey(3)
+        xt = jnp.ones((1, 4, 3))
+        score = jnp.zeros((1, 4, 3))
+        t = jnp.array([0.5])
+        dt = jnp.asarray(0.01)
+        out_p = R3Diffuser(R3Config(parity_dt_noise=True)).reverse(
+            key, xt, score, t, dt, center=False)
+        out_c = R3Diffuser(R3Config(parity_dt_noise=False)).reverse(
+            key, xt, score, t, dt, center=False)
+        # Same drift, different noise magnitude: corrected has ~10x noise.
+        dev_p = np.abs(np.asarray(out_p) - np.asarray(xt))
+        dev_c = np.abs(np.asarray(out_c) - np.asarray(xt))
+        assert dev_c.mean() > dev_p.mean()
+
+
+class TestDiscrete:
+    def test_transition_matches_expm(self, seq_diff):
+        from scipy.linalg import expm
+        t = jnp.array([0.13, 0.7, 1.0])
+        q = np.asarray(seq_diff.transition(t))
+        r = np.asarray(seq_diff.rate_matrix)
+        for i, ti in enumerate([0.13, 0.7, 1.0]):
+            want = expm(ti * r)
+            want[want < 1e-8] = 0.0
+            np.testing.assert_allclose(q[i], want, atol=1e-5)
+
+    def test_transition_rows_sum_to_one(self, seq_diff):
+        q = np.asarray(seq_diff.transition(jnp.array([0.5])))
+        np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+
+    def test_forward_marginal_distribution(self, seq_diff):
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((1, 20000), dtype=jnp.int32)  # all state 0
+        t = jnp.array([0.25])
+        x_t, q_t0, rate = seq_diff.forward_marginal(key, x0, t)
+        counts = np.bincount(np.asarray(x_t[0]), minlength=20) / 20000
+        want = np.asarray(q_t0[0, 0])
+        np.testing.assert_allclose(counts, want, atol=0.01)
+        assert q_t0.shape == (1, 20, 20) and rate.shape == (1, 20, 20)
+
+    def test_reverse_chain_recovers_confident_logits(self, seq_diff):
+        # Running the tau-leaping chain from t=1 to t~0 with overwhelmingly
+        # confident logits for state 7 should land most sites at 7 — this is
+        # exactly how the sampler consumes `reverse` (100 steps of dt=0.01).
+        key = jax.random.PRNGKey(1)
+        x = jnp.full((1, 64), 3, dtype=jnp.int32)
+        logits = jnp.full((1, 64, 20), -30.0).at[..., 7].set(30.0)
+        ts = np.linspace(0.01, 1.0, 100)[::-1]
+        for i, t in enumerate(ts):
+            key, sub = jax.random.split(key)
+            x = seq_diff.reverse(sub, x, logits, jnp.asarray(float(t)),
+                                 jnp.asarray(0.01))
+        assert (np.asarray(x) == 7).mean() > 0.9
+
+
+class TestJoint:
+    def test_forward_reverse_shapes(self):
+        jd = JointDiffuser(JointConfig(so3=SMALL_SO3))
+        key = jax.random.PRNGKey(0)
+        B, L = 2, 16
+        rigids_0 = jnp.tile(
+            jnp.asarray([1.0, 0, 0, 0, 0, 0, 0]), (B, L, 1))
+        seq_0 = jax.random.randint(key, (B, L), 0, 20, dtype=jnp.int32)
+        t = jnp.array([0.5, 0.8])
+        mask = jnp.ones((B, L))
+        out = jd.forward_marginal(key, rigids_0, seq_0, t, mask)
+        assert out['rigids_t'].shape == (B, L, 7)
+        assert out['seq_t'].shape == (B, L)
+        rig, seq = jd.reverse(
+            key, out['rigids_t'], out['seq_t'], out['rot_score'],
+            out['trans_score'],
+            jnp.zeros((B, L, 20)), t, jnp.asarray(0.01), mask)
+        assert rig.shape == (B, L, 7) and seq.shape == (B, L)
+
+    def test_fixed_residues_unchanged(self):
+        jd = JointDiffuser(JointConfig(so3=SMALL_SO3))
+        key = jax.random.PRNGKey(1)
+        B, L = 1, 10
+        rigids_0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1.0, 2.0, 3.0]),
+                            (B, L, 1))
+        seq_0 = jnp.arange(10, dtype=jnp.int32)[None] % 20
+        t = jnp.array([0.9])
+        mask = jnp.zeros((B, L)).at[:, 3:6].set(1.0)
+        out = jd.forward_marginal(key, rigids_0, seq_0, t, mask)
+        fixed = np.asarray(1 - mask[0], dtype=bool)
+        np.testing.assert_allclose(
+            np.asarray(out['rigids_t'])[0, fixed],
+            np.asarray(rigids_0)[0, fixed], atol=1e-5)
+        assert np.all(np.asarray(out['seq_t'])[0, fixed]
+                      == np.asarray(seq_0)[0, fixed])
+
+    def test_sample_ref_imputes(self):
+        jd = JointDiffuser(JointConfig(so3=SMALL_SO3))
+        key = jax.random.PRNGKey(2)
+        B, L = 1, 8
+        rigids = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 5.0, 5.0, 5.0]),
+                          (B, L, 1))
+        seq = jnp.full((B, L), 7, dtype=jnp.int32)
+        mask = jnp.zeros((B, L)).at[:, :4].set(1.0)
+        out = jd.sample_ref(key, (B, L), rigids, seq, mask)
+        np.testing.assert_allclose(
+            np.asarray(out['rigids_t'])[0, 4:], np.asarray(rigids)[0, 4:],
+            atol=1e-4)
+        assert np.all(np.asarray(out['seq_t'])[0, 4:] == 7)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason='reference checkout not mounted')
+class TestReferenceParity:
+    """Golden comparisons against the PyTorch reference implementation."""
+
+    @pytest.fixture(scope='class')
+    def ref_modules(self):
+        sys.path.insert(0, REFERENCE)
+        import importlib
+        import types
+        # The reference package imports the `esm` (fair-esm) package at import
+        # time; stub it so the diffuser modules load without ESM installed.
+        if 'esm' not in sys.modules:
+            esm_stub = types.ModuleType('esm')
+            pretrained = types.ModuleType('esm.pretrained')
+            pretrained.load_model_and_alphabet_local = (
+                lambda *a, **k: (_ for _ in ()).throw(RuntimeError('stub')))
+            esm_stub.pretrained = pretrained
+            sys.modules['esm'] = esm_stub
+            sys.modules['esm.pretrained'] = pretrained
+        so3_ref = importlib.import_module('diffuser.so3_diffuser')
+        r3_ref = importlib.import_module('diffuser.r3_diffuser')
+        dd_ref = importlib.import_module('diffuser.discrete_diffuser')
+        return so3_ref, r3_ref, dd_ref
+
+    def test_igso3_tables_match(self, ref_modules, so3, tmp_path):
+        so3_ref_mod, _, _ = ref_modules
+        conf = {
+            'schedule': 'logarithmic', 'min_sigma': 0.1, 'max_sigma': 1.5,
+            'num_sigma': SMALL_SO3.num_sigma, 'num_omega': SMALL_SO3.num_omega,
+            'use_cached_score': True, 'cache_dir': str(tmp_path),
+        }
+        ref = so3_ref_mod.SO3Diffuser(conf)
+        np.testing.assert_allclose(
+            np.asarray(so3._pdf), ref._pdf.numpy(), rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(so3._cdf), ref._cdf.numpy(), rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(so3._score_norms), ref._score_norms.numpy(),
+            rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(so3._score_scaling), ref._score_scaling.numpy(),
+            rtol=1e-4, atol=1e-4)
+
+    def test_so3_score_lookup_matches(self, ref_modules, so3, tmp_path):
+        import torch
+        so3_ref_mod, _, _ = ref_modules
+        conf = {
+            'schedule': 'logarithmic', 'min_sigma': 0.1, 'max_sigma': 1.5,
+            'num_sigma': SMALL_SO3.num_sigma, 'num_omega': SMALL_SO3.num_omega,
+            'use_cached_score': True, 'cache_dir': str(tmp_path),
+        }
+        ref = so3_ref_mod.SO3Diffuser(conf)
+        vec = np.random.RandomState(0).randn(2, 6, 3).astype(np.float32)
+        t = np.array([0.3, 0.8], dtype=np.float32)
+        got = np.asarray(so3.score(jnp.asarray(vec), jnp.asarray(t)))
+        want = ref.score(torch.tensor(vec), torch.tensor(t)).numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_r3_closed_forms_match(self, ref_modules):
+        import torch
+        _, r3_ref_mod, _ = ref_modules
+        ref = r3_ref_mod.R3Diffuser(
+            {'min_b': 0.1, 'max_b': 20.0, 'coordinate_scaling': 0.1})
+        mine = R3Diffuser(R3Config())
+        t = np.array([0.2, 0.9], dtype=np.float32)
+        x0 = np.random.RandomState(1).randn(2, 4, 3).astype(np.float32)
+        xt = np.random.RandomState(2).randn(2, 4, 3).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(mine.score(jnp.asarray(xt), jnp.asarray(x0),
+                                  jnp.asarray(t))),
+            ref.score(torch.tensor(xt), torch.tensor(x0),
+                      torch.tensor(t)).numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mine.score_scaling(jnp.asarray(t))),
+            ref.score_scaling(torch.tensor(t)).numpy(), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(mine.marginal_b_t(jnp.asarray(t))),
+            ref.marginal_b_t(torch.tensor(t)).numpy(), rtol=1e-5)
+
+    def test_discrete_transition_matches(self, ref_modules):
+        import torch
+        import ml_collections
+        _, _, dd_ref_mod = ref_modules
+        ref = dd_ref_mod.DiscreteDiffuser(
+            ml_collections.ConfigDict({'rate_const': 0.3}))
+        mine = DiscreteDiffuser(DiscreteConfig())
+        t = np.array([0.1, 0.5, 1.0], dtype=np.float32)
+        got = np.asarray(mine.transition(jnp.asarray(t)))
+        want = ref.transition(torch.tensor(t)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mine.rate_matrix),
+                                   ref.rate_matrix.numpy(), atol=1e-6)
