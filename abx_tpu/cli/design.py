@@ -1,0 +1,61 @@
+"""Single-complex CDR design CLI (reference design.py equivalent).
+
+Example:
+    python -m abx_tpu.cli.design --pdb_file test_data/6ct7_H_L_S.pdb \
+        --output_dir out --mode design --num_samples 8 --generate_area H3
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from abx_tpu.cli import runner
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--pdb_file', type=str, required=True,
+                   help='complex PDB named <code>_<H>_<L>_<AG[|AG2]>.pdb')
+    p.add_argument('--output_dir', type=str, required=True)
+    p.add_argument('--mode', type=str, default='design',
+                   choices=['design', 'optimize', 'trajectory'])
+    p.add_argument('--model', type=str, default=None,
+                   help='checkpoint path (.msgpack native or .ckpt torch)')
+    p.add_argument('--model_config', type=str, default=None)
+    p.add_argument('--num_samples', type=int, default=1)
+    p.add_argument('--num_t', type=int, default=None)
+    p.add_argument('--generate_area', type=str, default='H3')
+    p.add_argument('--optimize_steps', type=int, nargs='+',
+                   default=[4, 8, 16, 32, 64])
+    p.add_argument('--batch_samples', type=int, default=None)
+    p.add_argument('--seed', type=int, default=42)
+    p.add_argument('--tiny', action='store_true',
+                   help='tiny random model (smoke runs)')
+    p.add_argument('--platform', type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu')")
+    p.add_argument('--verbose', action='store_true')
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format='%(asctime)-15s [%(levelname)s] %(message)s')
+
+    rt = runner.build_runtime(args.model_config, args.model, tiny=args.tiny,
+                              seed=args.seed)
+    complexes = runner.load_complexes(None, None, args.pdb_file, rt)
+    out_dir = os.path.join(args.output_dir, args.mode)
+    runner.run_sampling(
+        rt, out_dir, args.mode, complexes, num_samples=args.num_samples,
+        generate_area=args.generate_area, num_t=args.num_t,
+        opt_steps=args.optimize_steps, seed=args.seed,
+        batch_samples=args.batch_samples)
+
+
+if __name__ == '__main__':
+    main()

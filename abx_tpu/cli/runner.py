@@ -1,0 +1,193 @@
+"""Shared CLI runtime: model/diffuser construction, sampling drivers.
+
+Replaces the reference's per-entry-point duplication (inference.py and
+design.py are ~95% identical, SURVEY.md §2.1) with one runner that the thin
+CLI mains call.
+
+Work distribution follows the TPU-native story (abx_tpu/parallel/mesh.py):
+samples are batched along the leading axis and sharded over a 1-D device
+mesh; multi-host runs shard the complex list by `jax.process_index()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abx_tpu import config as config_lib
+from abx_tpu.data import dataset as ds
+from abx_tpu.data.dataset import DataConfig
+from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+from abx_tpu.models.network import ScoreNetwork
+from abx_tpu.parallel import mesh as mesh_lib
+from abx_tpu.sampling.output import (postprocess_reference,
+                                     postprocess_sample,
+                                     postprocess_trajectory)
+from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+from abx_tpu.utils import checkpoint as ckpt_lib
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Runtime:
+    config: 'ml_collections.ConfigDict'
+    diffuser: JointDiffuser
+    model: ScoreNetwork
+    params: Dict
+    data_config: DataConfig
+
+
+def build_runtime(model_config_path: Optional[str] = None,
+                  checkpoint_path: Optional[str] = None,
+                  tiny: bool = False,
+                  seed: int = 0) -> Runtime:
+    if tiny:
+        cfg = config_lib.tiny_model_config()
+        with cfg.unlocked():
+            # tiny channels, but real-complex shape budget.
+            cfg.data.max_antibody_len = 256
+            cfg.data.max_antigen_len = 32
+    else:
+        cfg = config_lib.load_config(model_config_path)
+    diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
+    dcfg = DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len,
+                      cfg.data.patch_radius, cfg.data.anchor_neighbors)
+    model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                         antibody_len=cfg.data.max_antibody_len)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        if checkpoint_path.endswith(('.ckpt', '.pt', '.pth')):
+            from abx_tpu.utils.torch_convert import convert_reference_ckpt
+            params = convert_reference_ckpt(checkpoint_path, model, cfg,
+                                            diffuser)
+        else:
+            params = ckpt_lib.load_params(checkpoint_path)
+        logger.info('loaded checkpoint %s', checkpoint_path)
+    else:
+        params = _random_init(model, cfg, diffuser, seed)
+        logger.warning('no checkpoint: using randomly initialised weights')
+    return Runtime(cfg, diffuser, model, params, dcfg)
+
+
+def _random_init(model, cfg, diffuser, seed: int):
+    from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
+    l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+    l = l_ab + l_ag
+    dummy = {
+        'seq': jnp.zeros((1, l), jnp.int32),
+        'mask': jnp.ones((1, l)),
+        'atom14_gt_positions': jnp.zeros((1, l, 14, 3)),
+        'atom14_gt_exists': jnp.ones((1, l, 14)),
+        'cdr_def': jnp.zeros((1, l), jnp.int32),
+        'chain_id': jnp.zeros((1, l), jnp.int32),
+        'residx': jnp.tile(jnp.arange(l, dtype=jnp.int32), (1, 1)),
+        'anchor_flag': jnp.zeros((1, l_ab), jnp.int32)
+                        .at[:, 10].set(5).at[:, 20].set(5),
+    }
+    dummy = FeatureBuilder()(dummy)
+    dummy = make_diffuser_features(
+        dummy, diffuser=diffuser, generate_area='H3',
+        key=jax.random.PRNGKey(0), mode='design')
+    return model.init(jax.random.PRNGKey(seed), dummy, compute_loss=True)
+
+
+def load_complexes(data_dir: Optional[str], name_idx: Optional[Sequence[str]],
+                   pdb_file: Optional[str], runtime: Runtime,
+                   is_training: bool = False):
+    """Yield (feats, meta) for each requested complex."""
+    if pdb_file:
+        name = os.path.splitext(os.path.basename(pdb_file))[0]
+        parts = name.split('_')
+        heavy, light = parts[1], parts[2]
+        antigens = parts[3].split('|') if len(parts) > 3 else []
+        ex = ds.complex_from_pdb(pdb_file, heavy, light, antigens)
+        prep = ds.prepare_example(ex, runtime.data_config, is_training)
+        if prep is not None:
+            yield prep
+        return
+    assert data_dir is not None and name_idx is not None
+    dataset = ds.ComplexDataset(data_dir, name_idx, runtime.data_config,
+                                is_training)
+    yield from dataset
+
+
+def run_sampling(runtime: Runtime, output_dir: str, mode: str,
+                 complexes, num_samples: int = 1, generate_area: str = 'H3',
+                 num_t: Optional[int] = None, opt_steps: Sequence[int] = (),
+                 seed: int = 42, batch_samples: Optional[int] = None):
+    """Main sampling driver.
+
+    For throughput, up to `batch_samples` independent samples of one complex
+    are folded into the batch axis and sharded across the mesh.
+    """
+    cfg = runtime.config
+    num_t = num_t or cfg.diffuser.inference_step
+    devices = jax.devices()
+    batch_samples = batch_samples or max(1, len(devices))
+    dev_mesh = mesh_lib.make_mesh(devices)
+
+    def make_sampler(mode_name, opt_step=None):
+        scfg = SamplerConfig(
+            num_t=num_t, mode=('optimize' if opt_step is not None
+                               else ('trajectory' if mode_name == 'trajectory'
+                                     else 'design')),
+            opt_step=opt_step, generate_area=generate_area,
+            collect_trajectory=(mode_name == 'trajectory'))
+        return Sampler(runtime.model, runtime.diffuser, cfg.model, scfg)
+
+    os.makedirs(output_dir, exist_ok=True)
+    ref_dir = os.path.join(output_dir, 'reference')
+    os.makedirs(ref_dir, exist_ok=True)
+
+    opt_list = list(opt_steps) if mode == 'optimize' else [None]
+    complexes = list(complexes)  # reused across optimize strengths
+
+    results_log = []
+    for opt_step in opt_list:
+        sampler = make_sampler(mode, opt_step)
+        sub_dir = (os.path.join(output_dir, f'OPT-{opt_step}')
+                   if opt_step is not None else output_dir)
+        os.makedirs(sub_dir, exist_ok=True)
+
+        for feats, meta in complexes:
+            name = meta['name']
+            batch = ds.stack_batch([feats])
+            postprocess_reference(ref_dir, meta, batch)
+
+            remaining = num_samples
+            sample_idx = 0
+            while remaining > 0:
+                n = min(batch_samples, remaining)
+                tiled = {k: np.repeat(v, n, axis=0) for k, v in batch.items()}
+                padded, real_n = mesh_lib.pad_batch_to_devices(
+                    tiled, len(devices))
+                sharded = mesh_lib.shard_batch(dev_mesh, padded)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed),
+                                       hash(name) & 0x7fffffff), sample_idx)
+                t0 = time.time()
+                result = sampler.sample(runtime.params, sharded, key)
+                result = jax.tree.map(np.asarray, result)
+                elapsed = time.time() - t0
+                logger.info('%s: %d samples in %.2fs (%.2f samples/s)',
+                            name, n, elapsed, n / elapsed)
+                results_log.append((name, n, elapsed))
+                for i in range(n):
+                    sdir = os.path.join(sub_dir, f'{sample_idx + i:04d}')
+                    os.makedirs(sdir, exist_ok=True)
+                    if mode == 'trajectory':
+                        postprocess_trajectory(sdir, meta, result, i)
+                    else:
+                        postprocess_sample(sdir, meta, result, i)
+                remaining -= n
+                sample_idx += n
+    return results_log

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from abx_tpu.geometry import quat as quat_ops
+from abx_tpu.geometry.quat import safe_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,7 +173,7 @@ class SO3Diffuser:
     # -- scoring ------------------------------------------------------------
     def score(self, vec, t, eps: float = 1e-6) -> jnp.ndarray:
         """Score of the IGSO(3) density at rotation vectors `vec` (B, L, 3)."""
-        omega = jnp.linalg.norm(vec, axis=-1) + eps
+        omega = safe_norm(vec, keepdims=False) + eps
         score_norms_t = self._score_norms[self.t_to_idx(t)]  # (B, num_omega)
         omega_idx = jnp.searchsorted(
             self.discrete_omega[:-1], omega, side='left')  # (B, L)

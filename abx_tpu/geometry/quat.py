@@ -108,6 +108,18 @@ def rot_to_quat(m):
     return jnp.squeeze(sel, axis=-2)
 
 
+def safe_norm(x, axis=-1, keepdims=True, tiny=1e-24):
+    """L2 norm with a zero (not NaN) gradient at x == 0.
+
+    The double-where pattern: the sqrt argument is clamped away from zero on
+    the branch that is discarded, so no NaN enters the backward pass.
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims)
+    is_zero = sq < tiny
+    safe_sq = jnp.where(is_zero, 1.0, sq)
+    return jnp.where(is_zero, 0.0, jnp.sqrt(safe_sq))
+
+
 def _sin_half_over_angle(angles):
     """sin(angle/2)/angle with a 2nd-order Taylor branch near zero."""
     small = jnp.abs(angles) < 1e-6
@@ -121,7 +133,7 @@ def quat_to_rotvec(q):
     """Quaternion -> axis-angle vector, matching quat_affine.py:113-131."""
     flip = (q[..., :1] < 0).astype(q.dtype)
     q = (-q) * flip + (1.0 - flip) * q
-    norms = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    norms = safe_norm(q[..., 1:])
     half_angles = jnp.arctan2(norms, q[..., :1])
     angles = 2.0 * half_angles
     return q[..., 1:] / _sin_half_over_angle(angles)
@@ -129,7 +141,7 @@ def quat_to_rotvec(q):
 
 def rotvec_to_quat(rotvec):
     """Axis-angle vector -> quaternion, matching quat_affine.py:133-150."""
-    angles = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
+    angles = safe_norm(rotvec)
     return jnp.concatenate(
         [jnp.cos(angles * 0.5), rotvec * _sin_half_over_angle(angles)],
         axis=-1)

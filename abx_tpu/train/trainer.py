@@ -1,0 +1,121 @@
+"""Data-parallel training loop (net-new; the reference ships none).
+
+One jitted `train_step` over a 1-D mesh: batch sharded on 'data', params
+replicated, gradients reduced by XLA (sharding propagation inserts the
+psum).  Optax AdamW + gradient clipping; orbax (when present) or msgpack
+checkpoints via abx_tpu.utils.checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
+from abx_tpu.parallel import mesh as mesh_lib
+from abx_tpu.train.losses import total_loss
+from abx_tpu.utils import checkpoint as ckpt_lib
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    warmup_steps: int = 1000
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    generate_area: str = 'cdr'
+    log_every: int = 50
+    checkpoint_every: int = 1000
+
+
+def make_optimizer(cfg: TrainConfig):
+    schedule = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+class Trainer:
+    def __init__(self, model, diffuser, model_config, loss_config,
+                 train_config: TrainConfig = TrainConfig(),
+                 mesh: Optional[Any] = None):
+        self.model = model
+        self.diffuser = diffuser
+        self.model_config = model_config
+        self.loss_config = loss_config
+        self.config = train_config
+        self.mesh = mesh or mesh_lib.make_mesh()
+        self.optimizer = make_optimizer(train_config)
+        self.feature_builder = FeatureBuilder(is_training=True)
+        self._step_fn = jax.jit(self._build_step())
+
+    def init_state(self, params) -> Dict:
+        return {'params': params,
+                'opt_state': self.optimizer.init(params),
+                'step': jnp.asarray(0)}
+
+    def _build_step(self):
+        cfg = self.config
+        model = self.model
+        diffuser = self.diffuser
+        antibody_len = model.antibody_len
+
+        def loss_fn(params, batch, key):
+            k_noise, k_drop = jax.random.split(key)
+            batch = self.feature_builder(batch)
+            batch = make_diffuser_features(
+                batch, diffuser=diffuser, generate_area=cfg.generate_area,
+                key=k_noise, mode='train', is_training=True)
+            outputs = model.apply(params, batch, compute_loss=True,
+                                  deterministic=False,
+                                  rngs={'dropout': k_drop})
+            out = total_loss(batch, outputs, self.loss_config, antibody_len)
+            return out['loss'], out['metrics']
+
+        def train_step(state, batch, key):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state['params'], batch, key)
+            updates, opt_state = self.optimizer.update(
+                grads, state['opt_state'], state['params'])
+            params = optax.apply_updates(state['params'], updates)
+            new_state = {'params': params, 'opt_state': opt_state,
+                         'step': state['step'] + 1}
+            metrics['grad_norm'] = optax.global_norm(grads)
+            return new_state, metrics
+
+        return train_step
+
+    def step(self, state, batch, key):
+        batch = mesh_lib.shard_batch(self.mesh, batch)
+        return self._step_fn(state, batch, key)
+
+    def fit(self, state, data_iter: Iterator, num_steps: int,
+            key, checkpoint_path: Optional[str] = None):
+        cfg = self.config
+        t0 = time.time()
+        for i in range(num_steps):
+            batch = next(data_iter)
+            key, sub = jax.random.split(key)
+            state, metrics = self.step(state, batch, sub)
+            if (i + 1) % cfg.log_every == 0:
+                metrics = jax.tree.map(float, metrics)
+                rate = cfg.log_every / (time.time() - t0)
+                t0 = time.time()
+                logger.info('step %d: loss=%.4f aar=%.3f (%.2f steps/s)',
+                            i + 1, metrics['total'],
+                            metrics.get('seq/aar', -1), rate)
+            if checkpoint_path and (i + 1) % cfg.checkpoint_every == 0:
+                ckpt_lib.save_params(checkpoint_path, state['params'])
+        if checkpoint_path:
+            ckpt_lib.save_params(checkpoint_path, state['params'])
+        return state

@@ -1,0 +1,91 @@
+"""Benchmark: flagship-model CDR-H3 design throughput on one chip.
+
+Protocol (BASELINE.md): full-size model (512/128ch trunk, 8-layer IPA, 2
+recycles + final pass per step), 100 reverse-diffusion steps per design,
+real complex 6ct7_H_L_S (L = 256+32 padded).  The reference publishes no
+throughput numbers (BASELINE.json published == {}), so `vs_baseline` is the
+ratio to a conservative A100 reference estimate of the same workload
+(100 steps x 3 trunk passes; measured PyTorch reference anchor recorded in
+BASELINE.md round over round).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Reference anchor: AbX (PyTorch, A100) runs 100-step, 3-trunk-pass designs
+# at ~O(40s)/sample for L~250 with ESM2-3B; without ESM the trunk is ~35% of
+# the cost => ~14 s/sample ~= 257 samples/hr.  This anchor is an estimate
+# (no published number exists) and is revised when the torch reference is
+# profiled on real hardware.
+A100_REFERENCE_SAMPLES_PER_HR = 257.0
+
+
+def main():
+    num_t = int(os.environ.get('BENCH_NUM_T', 100))
+    batch = int(os.environ.get('BENCH_BATCH', 4))
+
+    from abx_tpu.cli import runner
+    from abx_tpu.data import dataset as ds
+    from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+
+    rt = runner.build_runtime(None, None, tiny=False, seed=0)
+
+    pdb = os.path.join(REPO, 'testdata', '6ct7_H_L_S.pdb')
+    if not os.path.exists(pdb):
+        pdb = '/root/reference/test_data/6ct7_H_L_S.pdb'
+    ex = ds.complex_from_pdb(pdb, 'H', 'L', ['S'])
+    prep = ds.prepare_example(ex, rt.data_config)
+    feats, _ = prep
+    feats = {k: np.repeat(v[None], batch, axis=0) for k, v in feats.items()}
+
+    scfg = SamplerConfig(num_t=num_t, mode='design', generate_area='H3')
+    sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg)
+
+    # Compile.
+    t0 = time.time()
+    out = sampler.sample(rt.params, feats, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # Steady state.
+    reps = 2
+    t0 = time.time()
+    for i in range(reps):
+        out = sampler.sample(rt.params, feats, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    elapsed = (time.time() - t0) / reps
+
+    samples_per_hr = batch / elapsed * 3600.0
+    steps_per_sec = batch * num_t / elapsed
+
+    result = {
+        'metric': 'design_samples_per_hour_per_chip',
+        'value': round(samples_per_hr, 2),
+        'unit': 'samples/hr (100-step H3 design, L=288, no-ESM trunk)',
+        'vs_baseline': round(samples_per_hr / A100_REFERENCE_SAMPLES_PER_HR,
+                             3),
+        'detail': {
+            'steps_per_sec': round(steps_per_sec, 2),
+            'batch': batch,
+            'num_t': num_t,
+            'compile_s': round(compile_s, 1),
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -248,16 +248,25 @@ class TestReferenceParity:
         sys.path.insert(0, REFERENCE)
         import importlib
         import types
-        # The reference package imports the `esm` (fair-esm) package at import
-        # time; stub it so the diffuser modules load without ESM installed.
-        if 'esm' not in sys.modules:
-            esm_stub = types.ModuleType('esm')
-            pretrained = types.ModuleType('esm.pretrained')
-            pretrained.load_model_and_alphabet_local = (
-                lambda *a, **k: (_ for _ in ()).throw(RuntimeError('stub')))
-            esm_stub.pretrained = pretrained
-            sys.modules['esm'] = esm_stub
-            sys.modules['esm.pretrained'] = pretrained
+        from unittest import mock
+
+        # The reference package pulls in esm/biopython/anarci at import time;
+        # stub them so the pure-math diffuser modules load standalone.
+        def _stub(name):
+            if name in sys.modules:
+                return
+            m = types.ModuleType(name)
+            m.__path__ = []  # mark as package
+            m.__getattr__ = lambda attr: mock.MagicMock()
+            sys.modules[name] = m
+
+        for name in ['esm', 'esm.pretrained', 'Bio', 'Bio.PDB',
+                     'Bio.PDB.Chain', 'Bio.PDB.Atom', 'Bio.PDB.Residue',
+                     'Bio.PDB.Model', 'Bio.PDB.PDBIO', 'Bio.PDB.PDBParser',
+                     'Bio.PDB.PDBExceptions', 'Bio.SeqUtils', 'Bio.Seq',
+                     'Bio.Data', 'Bio.Data.SCOPData', 'Bio.Data.PDBData',
+                     'anarci', 'pandas']:
+            _stub(name)
         so3_ref = importlib.import_module('diffuser.so3_diffuser')
         r3_ref = importlib.import_module('diffuser.r3_diffuser')
         dd_ref = importlib.import_module('diffuser.discrete_diffuser')
@@ -275,9 +284,16 @@ class TestReferenceParity:
             np.asarray(so3._pdf), ref._pdf.numpy(), rtol=2e-4, atol=1e-4)
         np.testing.assert_allclose(
             np.asarray(so3._cdf), ref._cdf.numpy(), rtol=2e-4, atol=1e-4)
-        np.testing.assert_allclose(
-            np.asarray(so3._score_norms), ref._score_norms.numpy(),
-            rtol=2e-3, atol=2e-3)
+        # Score norms: compare only where the density is non-negligible —
+        # in the far tail (e.g. omega≈pi at sigma=0.1 the density is
+        # ~e^-400) both implementations emit numerical noise (the reference
+        # computes the alternating series in f32; we use f64).
+        # pdf > 1e-4: below that the f32 reference series is catastrophic-
+        # cancellation noise (values like ±7 where the f64 value is ~0).
+        support = ref._pdf.numpy() > 1e-4
+        got_sn = np.asarray(so3._score_norms)[support]
+        want_sn = ref._score_norms.numpy()[support]
+        np.testing.assert_allclose(got_sn, want_sn, rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(
             np.asarray(so3._score_scaling), ref._score_scaling.numpy(),
             rtol=1e-4, atol=1e-4)
