@@ -50,6 +50,8 @@ def build_runtime(model_config_path: Optional[str] = None,
                   checkpoint_path: Optional[str] = None,
                   tiny: bool = False,
                   seed: int = 0) -> Runtime:
+    from abx_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     if tiny:
         cfg = config_lib.tiny_model_config()
         with cfg.unlocked():

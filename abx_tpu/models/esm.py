@@ -1,0 +1,256 @@
+"""ESM2 protein language model in flax (TPU-native port).
+
+The reference conditions the score network on frozen ESM2-t36-3B embeddings
+(/root/reference/abx/model/encoder.py:21-121), re-tokenising the noisy
+antibody sequence AS A STRING on every trunk call and batching through the
+fair-esm torch model.  This port:
+
+  * implements the ESM2 encoder (pre-LN transformer, rotary attention,
+    token-dropout embedding scale) as flax modules, bf16-friendly;
+  * replaces the string round-trip with pure integer retokenisation — the
+    aatype -> ESM-token map is a 21-entry gather, and the
+    [cls ‖ heavy ‖ G-linker(48) ‖ light ‖ eos] assembly is index arithmetic
+    on static shapes, so ESM runs INSIDE the jitted diffusion step;
+  * returns the (B, L_ab, D, num_layers+1) stacked per-layer representations
+    the trunk's learned layer-weighting consumes.
+
+Weight conversion from the fair-esm checkpoint lives in
+abx_tpu/utils/torch_convert.py (`convert_esm2_ckpt`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abx_tpu.common import residue_constants as rc
+
+# ESM alphabet (fair-esm standard): ids of the special / aa tokens.
+ESM_CLS, ESM_PAD, ESM_EOS, ESM_UNK, ESM_MASK = 0, 1, 2, 3, 32
+_ESM_AA_ORDER = 'LAGVSERTIDPKQNFYMHWC'  # ids 4..23
+ESM_TOKEN_OF_AA = {aa: i + 4 for i, aa in enumerate(_ESM_AA_ORDER)}
+ESM_TOKEN_OF_AA['X'] = 24
+ESM_GLY = ESM_TOKEN_OF_AA['G']
+
+# Our aatype (residue_constants order, X=20) -> ESM token id.
+AATYPE_TO_ESM = np.array(
+    [ESM_TOKEN_OF_AA[a] for a in rc.restypes_with_x], dtype=np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ESM2Config:
+    num_layers: int = 36
+    embed_dim: int = 2560
+    attention_heads: int = 40
+    alphabet_size: int = 33
+    token_dropout: bool = True
+
+    @staticmethod
+    def t36_3B() -> 'ESM2Config':
+        return ESM2Config(36, 2560, 40)
+
+    @staticmethod
+    def t33_650M() -> 'ESM2Config':
+        return ESM2Config(33, 1280, 20)
+
+    @staticmethod
+    def t12_35M() -> 'ESM2Config':
+        return ESM2Config(12, 480, 20)
+
+    @staticmethod
+    def tiny() -> 'ESM2Config':
+        return ESM2Config(2, 64, 4)
+
+
+def _rotary_sincos(seq_len: int, dim: int, dtype=jnp.float32):
+    """ESM-style rotary tables: freqs duplicated (not interleaved)."""
+    inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    t = np.arange(seq_len, dtype=np.float64)
+    freqs = np.einsum('i,j->ij', t, inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return (jnp.asarray(np.cos(emb), dtype=dtype),
+            jnp.asarray(np.sin(emb), dtype=dtype))
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rotary(x, cos, sin):
+    # x: (B, H, L, Dh); cos/sin: (L, Dh).
+    return x * cos[None, None] + _rotate_half(x) * sin[None, None]
+
+
+class ESMSelfAttention(nn.Module):
+    config: ESM2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask):
+        c = self.config
+        d = c.embed_dim
+        h = c.attention_heads
+        dh = d // h
+        b, l, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(d, dtype=self.dtype, name=name)
+
+        q = proj('q_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        k = proj('k_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        v = proj('v_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+
+        cos, sin = _rotary_sincos(l, dh, dtype=self.dtype)
+        q = _apply_rotary(q, cos, sin)
+        k = _apply_rotary(k, cos, sin)
+
+        q = q * (dh ** -0.5)
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+        neg = (padding_mask[:, None, None, :]).astype(jnp.float32) * -1e9
+        weights = jax.nn.softmax(logits.astype(jnp.float32) + neg, axis=-1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(self.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
+
+
+class ESMLayer(nn.Module):
+    config: ESM2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask):
+        c = self.config
+        residual = x
+        y = nn.LayerNorm(dtype=jnp.float32, name='self_attn_layer_norm')(x)
+        y = ESMSelfAttention(c, dtype=self.dtype, name='self_attn')(
+            y.astype(self.dtype), padding_mask)
+        x = residual + y
+
+        residual = x
+        y = nn.LayerNorm(dtype=jnp.float32, name='final_layer_norm')(x)
+        y = nn.Dense(4 * c.embed_dim, dtype=self.dtype, name='fc1')(
+            y.astype(self.dtype))
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(c.embed_dim, dtype=self.dtype, name='fc2')(y)
+        return residual + y
+
+
+class ESM2(nn.Module):
+    """ESM2 encoder returning all per-layer representations."""
+    config: ESM2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens (B, L) int -> (B, L, D, num_layers+1) representations."""
+        c = self.config
+        padding_mask = (tokens == ESM_PAD)
+
+        embed = nn.Embed(c.alphabet_size, c.embed_dim,
+                         dtype=self.dtype, name='embed_tokens')
+        x = embed(tokens)
+        if c.token_dropout:
+            # Inference-time token-dropout rescale (fair-esm esm2.py):
+            # zero <mask> embeddings and scale by the train-time mask ratio.
+            x = jnp.where((tokens == ESM_MASK)[..., None], 0.0, x)
+            mask_ratio_train = 0.15 * 0.8
+            src_lengths = jnp.sum(~padding_mask, axis=-1)
+            mask_ratio_obs = (jnp.sum(tokens == ESM_MASK, axis=-1)
+                              / jnp.maximum(src_lengths, 1))
+            x = x * ((1 - mask_ratio_train)
+                     / (1 - mask_ratio_obs))[:, None, None].astype(x.dtype)
+        x = jnp.where(padding_mask[..., None], 0.0, x)
+
+        reprs = [x]
+        for i in range(c.num_layers):
+            x = ESMLayer(c, dtype=self.dtype, name=f'layer_{i}')(
+                x, padding_mask)
+            reprs.append(x)
+        # Final LN is applied to the LAST layer's representation only
+        # (fair-esm: hidden_representations[num_layers] = x after LN).
+        reprs[-1] = nn.LayerNorm(
+            dtype=jnp.float32, name='emb_layer_norm_after')(
+            reprs[-1]).astype(self.dtype)
+        return jnp.stack(reprs, axis=-1)  # (B, L, D, n_layers+1)
+
+
+class AntibodyESM:
+    """Callable wrapper: noisy antibody aatype -> stacked ESM embeddings.
+
+    Integer retokenisation + static-shape [cls‖heavy‖linker‖light‖eos]
+    assembly (replaces encoder.py:37-121's per-step string round trip).
+    """
+
+    def __init__(self, config: ESM2Config, params, antibody_len: int,
+                 sep_pad_num: int = 48, dtype=jnp.bfloat16):
+        self.config = config
+        self.params = params
+        self.antibody_len = antibody_len
+        self.sep_pad_num = sep_pad_num
+        self.module = ESM2(config, dtype=dtype)
+
+    def esm_seq_len(self) -> int:
+        return self.antibody_len + self.sep_pad_num + 2
+
+    def __call__(self, ab_aatype, heavy_len, light_len):
+        """
+        Args:
+            ab_aatype: (B, L_ab) aatype ints (heavy ‖ light ‖ pad).
+            heavy_len / light_len: (B,) ints.
+        Returns: (B, L_ab, D, num_layers+1).
+        """
+        tokens = build_esm_tokens(ab_aatype, heavy_len, light_len,
+                                  self.sep_pad_num)
+        reprs = self.module.apply(self.params, tokens)
+        return extract_antibody_reprs(reprs, heavy_len, light_len,
+                                      self.antibody_len, self.sep_pad_num)
+
+
+def build_esm_tokens(ab_aatype, heavy_len, light_len, sep_pad_num=48):
+    """(B, L_ab) aatype -> (B, L_ab+sep+2) ESM tokens, linker-joined."""
+    b, l_ab = ab_aatype.shape
+    l_esm = l_ab + sep_pad_num + 2
+    aa_esm = jnp.asarray(AATYPE_TO_ESM)[
+        jnp.clip(ab_aatype, 0, rc.restype_num)]
+
+    pos = jnp.arange(l_esm)[None, :]                    # (1, L_esm)
+    h = heavy_len[:, None]
+    lt = light_len[:, None]
+
+    in_heavy = (pos >= 1) & (pos <= h)
+    in_linker = (pos > h) & (pos <= h + sep_pad_num)
+    in_light = (pos > h + sep_pad_num) & (pos <= h + sep_pad_num + lt)
+    is_eos = pos == (h + sep_pad_num + lt + 1)
+    is_cls = pos == 0
+
+    # Antibody gather index: heavy at p-1, light at p-1-sep.
+    ab_idx = jnp.where(in_light, pos - 1 - sep_pad_num, pos - 1)
+    ab_idx = jnp.clip(ab_idx, 0, l_ab - 1)
+    ab_tok = jnp.take_along_axis(aa_esm, ab_idx, axis=1)
+
+    tokens = jnp.full((b, l_esm), ESM_PAD, dtype=jnp.int32)
+    tokens = jnp.where(is_cls, ESM_CLS, tokens)
+    tokens = jnp.where(in_heavy | in_light, ab_tok, tokens)
+    tokens = jnp.where(in_linker, ESM_GLY, tokens)
+    tokens = jnp.where(is_eos, ESM_EOS, tokens)
+    return tokens
+
+
+def extract_antibody_reprs(reprs, heavy_len, light_len, l_ab, sep_pad_num=48):
+    """Inverse of build_esm_tokens: gather antibody positions, drop linker."""
+    b = reprs.shape[0]
+    ab_pos = jnp.arange(l_ab)[None, :]
+    h = heavy_len[:, None]
+    esm_pos = jnp.where(ab_pos < h, ab_pos + 1, ab_pos + 1 + sep_pad_num)
+    esm_pos = jnp.clip(esm_pos, 0, reprs.shape[1] - 1)
+    out = jnp.take_along_axis(
+        reprs, esm_pos[:, :, None, None].astype(jnp.int32), axis=1)
+    # Zero padded antibody positions.
+    valid = (ab_pos < h + light_len[:, None])[..., None, None]
+    return jnp.where(valid, out, 0.0)

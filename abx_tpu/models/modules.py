@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import random
@@ -58,13 +59,23 @@ class Linear(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in f32 regardless of compute dtype."""
+    """LayerNorm computed in f32 regardless of compute dtype.
+
+    Owns `scale`/`bias` directly (flat param tree -> direct torch mapping).
+    """
     dtype: Any = jnp.float32
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        out = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32,
-                           dtype=jnp.float32)(x.astype(jnp.float32))
+        dim = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (dim,))
+        bias = self.param('bias', nn.initializers.zeros, (dim,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = out * scale + bias
         return out.astype(self.dtype)
 
 

@@ -71,16 +71,20 @@ class GatedAttention(nn.Module):
                        dtype=self.dtype, name='proj_k')(k_data)
             v = Linear(self.value_dim, init='attn', use_bias=False,
                        dtype=self.dtype, name='proj_v')(k_data)
-        else:
-            assert k_data is None
-            qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
-                         dtype=self.dtype, name='proj_in')(q_data)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-
         def heads(t, d):
             return t.reshape(t.shape[:-1] + (h, d)).swapaxes(-2, -3)
 
-        q, k, v = heads(q, key_dim), heads(k, key_dim), heads(v, value_dim)
+        if not self.split_first:
+            assert k_data is None
+            # Fused projection with PER-HEAD [q‖k‖v] column layout, matching
+            # the reference (seqformer.py:280-281: reshape to heads first,
+            # then chunk) — keeps checkpoint conversion a pure transpose.
+            qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
+                         dtype=self.dtype, name='proj_in')(q_data)
+            qkv = heads(qkv, 3 * key_dim)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q, k, v = heads(q, key_dim), heads(k, key_dim), heads(v, value_dim)
         q = q * (key_dim ** -0.5)
 
         logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)

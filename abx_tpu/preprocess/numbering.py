@@ -143,7 +143,10 @@ def _anarci_annotate(seq: str, chain: str) -> Optional[DomainAnnotation]:
     except ImportError:
         return None
     allow = ['H'] if chain == 'H' else ['K', 'L']
-    numbering, _, _ = anarci([('A', seq)], scheme='imgt', allow=allow)
+    try:
+        numbering, _, _ = anarci([('A', seq)], scheme='imgt', allow=allow)
+    except Exception:
+        return None  # broken/stubbed anarci installation
     if numbering[0] is None:
         return None
     domain_numbering, start, end = numbering[0][0]

@@ -36,11 +36,20 @@ def main():
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
 
+    from abx_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+    from abx_tpu.utils import checkpoint as ckpt_lib
 
-    rt = runner.build_runtime(None, None, tiny=False, seed=0)
+    params_cache = os.path.join(REPO, '.cache', 'bench_params.msgpack')
+    rt = runner.build_runtime(
+        None, params_cache if os.path.exists(params_cache) else None,
+        tiny=False, seed=0)
+    if not os.path.exists(params_cache):
+        ckpt_lib.save_params(params_cache, rt.params)
 
     pdb = os.path.join(REPO, 'testdata', '6ct7_H_L_S.pdb')
     if not os.path.exists(pdb):

@@ -1,0 +1,167 @@
+"""Golden parity: abx_tpu ScoreNetwork vs the PyTorch reference, weight-for-
+weight.
+
+Builds the reference model (torch CPU, ESM disabled, random init), converts
+its state dict through abx_tpu.utils.torch_convert, feeds both models the
+SAME featurized batch, and compares every head output.  This is the
+checkpoint-fidelity guarantee: if this passes, released reference checkpoints
+load correctly by construction.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = '/root/reference'
+HAS_REFERENCE = os.path.isdir(os.path.join(REFERENCE, 'abx'))
+
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE,
+                                reason='reference not mounted')
+
+
+def _install_stubs():
+    from unittest import mock
+
+    def _stub(name):
+        if name in sys.modules:
+            return
+        m = types.ModuleType(name)
+        m.__path__ = []
+        m.__getattr__ = lambda attr: mock.MagicMock()
+        sys.modules[name] = m
+
+    for name in ['esm', 'esm.pretrained', 'Bio', 'Bio.PDB', 'Bio.PDB.Chain',
+                 'Bio.PDB.Atom', 'Bio.PDB.Residue', 'Bio.PDB.Model',
+                 'Bio.PDB.PDBIO', 'Bio.PDB.PDBParser',
+                 'Bio.PDB.PDBExceptions', 'Bio.SeqUtils', 'Bio.Seq',
+                 'Bio.Data', 'Bio.Data.SCOPData', 'Bio.Data.PDBData',
+                 'anarci', 'pandas']:
+        _stub(name)
+
+
+@pytest.fixture(scope='module')
+def both_models():
+    _install_stubs()
+    sys.path.insert(0, REFERENCE)
+    import json
+    import ml_collections
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+
+    with open(os.path.join(REFERENCE, 'config/config_model.json')) as f:
+        ref_cfg = json.load(f)
+    ref_cfg['model']['embeddings_and_seqformer']['esm']['enabled'] = False
+    ref_cfg['model']['num_recycle'] = 0
+    ref_cfg['diffuser']['so3'].update(
+        num_omega=200, num_sigma=100, cache_dir='/tmp/ref_igso3',
+        use_cached_score=True)
+    ref_conf = ml_collections.ConfigDict(ref_cfg)
+
+    from diffuser.full_diffuser import FullDiffuser
+    from abx.model.abx import ScoreNetwork as RefScoreNetwork
+    ref_diffuser = FullDiffuser(ref_conf.diffuser)
+    ref_model = RefScoreNetwork(model_conf=ref_conf.model,
+                                diffuser=ref_diffuser)
+    ref_model.eval()
+
+    # --- abx_tpu side, mirrored config ---
+    from abx_tpu.config import model_config
+    from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+    from abx_tpu.diffusion.igso3 import SO3Config
+    from abx_tpu.models.network import ScoreNetwork
+
+    cfg = model_config()
+    with cfg.unlocked():
+        cfg.model.num_recycle = 0
+        cfg.diffuser.so3.num_omega = 200
+        cfg.diffuser.so3.num_sigma = 100
+        cfg.diffuser.so3.cache_dir = '/tmp/igso3_test'
+        cfg.data.max_antibody_len = 224
+        cfg.data.max_antigen_len = 16
+    diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
+    model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                         antibody_len=cfg.data.max_antibody_len)
+
+    # --- shared featurized batch (real complex through our pipeline) ---
+    from abx_tpu.data import dataset as ds
+    from abx_tpu.data.dataset import DataConfig
+    from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
+    ex = ds.complex_from_pdb('testdata/6ct7_H_L_S.pdb', 'H', 'L', ['S'])
+    feats, meta = ds.prepare_example(
+        ex, DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len))
+    batch = {k: jnp.asarray(v[None]) for k, v in feats.items()}
+    batch = FeatureBuilder()(batch)
+    batch = make_diffuser_features(
+        batch, diffuser=diffuser, generate_area='H3',
+        key=jax.random.PRNGKey(3), mode='optimize', t_value=0.35)
+
+    # --- convert reference weights -> our params ---
+    from abx_tpu.utils.torch_convert import convert_score_network
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_score_network(sd, esm_enabled=False)
+
+    return (ref_model, ref_conf, model, cfg, params, batch)
+
+
+def _to_torch_batch(batch, antibody_len):
+    import torch
+    import numpy as np
+    tb = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if k in ('seq', 'seq_t', 'cdr_def', 'chain_id', 'residx',
+                 'anchor_flag', 'residx_atom37_to_atom14', 'prev_pos'):
+            tb[k] = torch.tensor(arr).long()
+        elif arr.dtype in (np.int32, np.int64, bool):
+            tb[k] = torch.tensor(np.asarray(arr, np.int64))
+        else:
+            tb[k] = torch.tensor(np.asarray(arr, np.float32))
+    return tb
+
+
+class TestNetworkParity:
+    def test_forward_outputs_match(self, both_models):
+        import torch
+        import jax
+        ref_model, ref_conf, model, cfg, params, batch = both_models
+
+        # Flatten Rigid pytrees out of the torch batch (torch side doesn't
+        # need them).
+        torch_batch = _to_torch_batch(
+            {k: v for k, v in batch.items()
+             if not hasattr(v, 'rot') and k not in ('rigidgroups_gt_frames',
+                                                    'rigidgroups_alt_gt_frames')},
+            model.antibody_len)
+        with torch.no_grad():
+            ref_out = ref_model(torch_batch, compute_loss=False)
+
+        out = model.apply(params, batch, num_recycle=0)
+
+        ref_fold = ref_out['heads']['folding']
+        fold = out['heads']['folding']
+
+        valid = np.asarray(batch['mask'])[0] > 0
+
+        def cmp(name, mine, ref, atol):
+            mine = np.asarray(mine)[0][valid]
+            ref = ref.detach().numpy()[0][valid]
+            err = np.abs(mine - ref).max()
+            assert err < atol, f'{name}: max err {err}'
+
+        cmp('rigids', fold['rigids'], ref_fold['rigids'], 2e-3)
+        cmp('trans_score', fold['trans_score'], ref_fold['trans_score'],
+            5e-3)
+        cmp('rot_score', fold['rot_score'], ref_fold['rot_score'], 2e-2)
+        cmp('seq_logits', out['heads']['sequence_module']['logits'],
+            ref_out['heads']['sequence_module']['logits'], 2e-3)
+        cmp('seq_0', out['heads']['sequence_module']['seq_0'].astype(
+            np.float32),
+            ref_out['heads']['sequence_module']['seq_0'].float(), 0.5)
+        cmp('atom14', fold['final_atom14_positions'],
+            ref_fold['final_atom14_positions'], 5e-3)
