@@ -322,6 +322,10 @@ def pad_example(example: Dict, max_antibody_len: int, max_antigen_len: int
                  max_antigen_len)]),
         'anchor_flag': pad1(example['anchor_flag'].astype(np.int32),
                             max_antibody_len),
+        'heavy_len': np.asarray(
+            int((example['antibody_chain_ids'] == 0).sum()), np.int32),
+        'light_len': np.asarray(
+            int((example['antibody_chain_ids'] == 1).sum()), np.int32),
     }
     meta = {
         'name': example['name'],

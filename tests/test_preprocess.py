@@ -1,0 +1,121 @@
+"""Preprocessing tests: SAbDab filtering, mmCIF parsing, npz round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from abx_tpu.common import residue_constants as rc
+from abx_tpu.data import dataset as ds
+from abx_tpu.data.dataset import ComplexDataset, DataConfig
+from abx_tpu.data.pdb_io import parse_pdb
+from abx_tpu.preprocess.make_data import (make_complex_features,
+                                          parse_sabdab_summary)
+from abx_tpu.preprocess.mmcif import parse_mmcif
+
+PDB = 'testdata/6ct7_H_L_S.pdb'
+
+
+def test_sabdab_summary_filters(tmp_path):
+    tsv = tmp_path / 'summary.tsv'
+    tsv.write_text(
+        'pdb\tHchain\tLchain\tmodel\tantigen_chain\tantigen_type\tmethod\n'
+        '6ct7\tH\tL\t0\tS\tprotein\tX-RAY DIFFRACTION\n'
+        'bad1\tH\tL\t1\tS\tprotein\tX-RAY DIFFRACTION\n'     # model != 0
+        'bad2\tH\tNA\t0\tS\tprotein\tX-RAY DIFFRACTION\n'    # unpaired
+        'bad3\tH\tL\t0\tS\thapten\tX-RAY DIFFRACTION\n'      # not protein
+        'bad4\tH\tL\t0\tS\tprotein\tNMR\n'                   # not xray/em
+        'ok2\tA\tB\t0\tC | D\tprotein | protein\tELECTRON MICROSCOPY\n')
+    entries = parse_sabdab_summary(str(tsv))
+    assert [e['pdb'] for e in entries] == ['6ct7', 'ok2']
+    assert entries[1]['antigen'] == ['C', 'D']
+
+
+def test_make_features_and_npz_roundtrip(tmp_path):
+    chains = parse_pdb(PDB)
+    feats = make_complex_features(chains, 'H', 'L', ['S'])
+    assert feats is not None
+    name = '6ct7_H_L_S'
+    np.savez(tmp_path / f'{name}.npz', **feats)
+
+    dataset = ComplexDataset(str(tmp_path), [name],
+                             DataConfig(max_antibody_len=256,
+                                        max_antigen_len=32))
+    items = list(dataset)
+    assert len(items) == 1
+    batch_feats, meta = items[0]
+    assert batch_feats['seq'].shape == (288,)
+    assert meta['name'] == name
+    # CDR labels survive the round trip.
+    assert np.any(batch_feats['cdr_def'] == rc.cdr_str_to_enum['H3'])
+
+
+def test_mmcif_parser_matches_pdb_parser(tmp_path):
+    """Synthesize an mmCIF from parsed PDB data; both parsers must agree."""
+    chains = parse_pdb(PDB)
+    h = chains['H']
+    lines = [
+        'data_test', 'loop_',
+        '_atom_site.group_PDB', '_atom_site.id', '_atom_site.label_atom_id',
+        '_atom_site.label_alt_id', '_atom_site.label_comp_id',
+        '_atom_site.auth_asym_id', '_atom_site.auth_seq_id',
+        '_atom_site.pdbx_PDB_ins_code', '_atom_site.Cartn_x',
+        '_atom_site.Cartn_y', '_atom_site.Cartn_z',
+        '_atom_site.pdbx_PDB_model_num',
+    ]
+    serial = 1
+    for i, aa in enumerate(h.str_seq[:30]):
+        resname = rc.restype_1to3[aa]
+        names14 = rc.restype_name_to_atom14_names[resname]
+        for j, atom in enumerate(names14):
+            if not atom or not h.coord_mask[i, j]:
+                continue
+            x, y, z = h.coords[i, j]
+            lines.append(
+                f'ATOM {serial} {atom} . {resname} H {h.resseq[i]} ? '
+                f'{x:.3f} {y:.3f} {z:.3f} 1')
+            serial += 1
+    cif = tmp_path / 'test.cif'
+    cif.write_text('\n'.join(lines) + '\n')
+    parsed = parse_mmcif(str(cif))
+    assert 'H' in parsed
+    assert parsed['H'].str_seq == h.str_seq[:30]
+    np.testing.assert_allclose(parsed['H'].coords, h.coords[:30], atol=2e-3)
+    np.testing.assert_array_equal(parsed['H'].coord_mask, h.coord_mask[:30])
+
+
+class TestRelax:
+    def test_jax_relax_reduces_violations(self):
+        from abx_tpu.evaluation.relax import (RelaxConfig, jax_relax,
+                                              violation_energy)
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        chains = parse_pdb(PDB)
+        h = chains['H']
+        n = 40
+        seq = rc.sequence_to_index(h.str_seq[:n])
+        atom14 = h.coords[:n].copy()
+        exists = h.coord_mask[:n].astype(np.float32)
+        residx = np.arange(n)
+        # Perturb a loop region to create violations.
+        move = np.zeros((n,), np.float32)
+        move[25:33] = 1.0
+        atom14[25:33] += 0.6 * rng.randn(8, 14, 3).astype(np.float32)
+        relaxed, metrics = jax_relax(atom14, seq, exists, residx, move,
+                                     RelaxConfig(iterations=150))
+        assert metrics['energy_after'] < metrics['energy_before']
+        # Fixed region untouched.
+        np.testing.assert_allclose(relaxed[:25], atom14[:25], atol=1e-6)
+
+    def test_lj_interface_score_prefers_contact(self):
+        from abx_tpu.evaluation.relax import lj_interface_score
+        seq = np.zeros((3,), np.int32)
+        exists = np.zeros((3, 14), np.float32)
+        exists[:, :5] = 1
+        base = np.zeros((3, 14, 3), np.float32)
+        base[:, :5] = np.linspace(0, 4, 15).reshape(3, 5, 1)
+        near = base + np.array([4.0, 0, 0])   # packed interface
+        far = base + np.array([50.0, 0, 0])   # no interface
+        s_near = lj_interface_score(base, exists, seq, near, exists, seq)
+        s_far = lj_interface_score(base, exists, seq, far, exists, seq)
+        assert s_near < s_far  # more negative = favourable
