@@ -49,7 +49,8 @@ class Runtime:
 def build_runtime(model_config_path: Optional[str] = None,
                   checkpoint_path: Optional[str] = None,
                   tiny: bool = False,
-                  seed: int = 0) -> Runtime:
+                  seed: int = 0,
+                  bf16: bool = False) -> Runtime:
     from abx_tpu.utils.compile_cache import enable as _enable_cache
     _enable_cache()
     if tiny:
@@ -63,8 +64,10 @@ def build_runtime(model_config_path: Optional[str] = None,
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     dcfg = DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len,
                       cfg.data.patch_radius, cfg.data.anchor_neighbors)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = ScoreNetwork(cfg.model, diffuser=diffuser,
-                         antibody_len=cfg.data.max_antibody_len)
+                         antibody_len=cfg.data.max_antibody_len,
+                         dtype=dtype)
 
     if checkpoint_path and os.path.exists(checkpoint_path):
         if checkpoint_path.endswith(('.ckpt', '.pt', '.pth')):

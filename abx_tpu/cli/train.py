@@ -1,0 +1,118 @@
+"""Training CLI (net-new; the reference ships no trainer).
+
+Data-parallel training over a device mesh with cluster-based sampling
+(reference dataset.py:46-73 semantics: one random member per cluster per
+epoch), uniform-t forward noising on device, and the reconstructed loss
+stack (abx_tpu/train/losses.py).
+
+Example:
+    python -m abx_tpu.cli.train --data_dir data/npz --name_idx clusters.txt \
+        --is_cluster_idx --output_dir runs/exp1 --num_steps 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+from typing import Iterator, List
+
+import jax
+import numpy as np
+
+from abx_tpu.cli import runner
+from abx_tpu.data import dataset as ds
+from abx_tpu.train.trainer import TrainConfig, Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def parse_cluster_file(path: str) -> List[List[str]]:
+    """Each line = whitespace-separated complex names forming one cluster."""
+    clusters = []
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            items = line.split()
+            if items:
+                clusters.append(items)
+    return clusters
+
+
+def batch_iterator(data_dir: str, names, cfg, batch_size: int,
+                   is_cluster_idx: bool, seed: int) -> Iterator:
+    """Infinite iterator of stacked static-shape batches."""
+    rng = random.Random(seed)
+    clusters = names if is_cluster_idx else [[n] for n in names]
+    buffer = []
+    while True:
+        order = list(range(len(clusters)))
+        rng.shuffle(order)
+        for ci in order:
+            name = rng.choice(clusters[ci])
+            path = os.path.join(data_dir, f'{name}.npz')
+            if not os.path.exists(path):
+                continue
+            try:
+                raw = ds.load_complex_npz(path, name)
+                ex = ds._npz_to_example(raw)
+                prep = ds.prepare_example(ex, cfg, is_training=True, rng=rng)
+            except Exception as e:
+                logger.warning('skip %s: %s', name, e)
+                continue
+            if prep is None:
+                continue
+            buffer.append(prep[0])
+            if len(buffer) == batch_size:
+                yield ds.stack_batch(buffer)
+                buffer = []
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--data_dir', type=str, required=True)
+    p.add_argument('--name_idx', type=str, required=True)
+    p.add_argument('--is_cluster_idx', action='store_true')
+    p.add_argument('--output_dir', type=str, required=True)
+    p.add_argument('--init_checkpoint', type=str, default=None)
+    p.add_argument('--model_config', type=str, default=None)
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--num_steps', type=int, default=10000)
+    p.add_argument('--learning_rate', type=float, default=1e-4)
+    p.add_argument('--generate_area', type=str, default='cdr')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--tiny', action='store_true')
+    p.add_argument('--platform', type=str, default=None)
+    p.add_argument('--verbose', action='store_true')
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format='%(asctime)-15s [%(levelname)s] %(message)s')
+
+    rt = runner.build_runtime(args.model_config, args.init_checkpoint,
+                              tiny=args.tiny, seed=args.seed)
+    if args.is_cluster_idx:
+        names = parse_cluster_file(args.name_idx)
+    else:
+        with open(args.name_idx, encoding='utf-8') as f:
+            names = [x.strip() for x in f if x.strip()]
+    names = ds.shard_names(names, jax.process_index(), jax.process_count())
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    trainer = Trainer(
+        rt.model, rt.diffuser, rt.config.model, rt.config.loss,
+        TrainConfig(learning_rate=args.learning_rate,
+                    generate_area=args.generate_area))
+    state = trainer.init_state(rt.params)
+    data_iter = batch_iterator(args.data_dir, names, rt.data_config,
+                               args.batch_size, args.is_cluster_idx,
+                               args.seed)
+    ckpt = os.path.join(args.output_dir, 'params.msgpack')
+    trainer.fit(state, data_iter, args.num_steps,
+                jax.random.PRNGKey(args.seed), checkpoint_path=ckpt)
+
+
+if __name__ == '__main__':
+    main()

@@ -35,6 +35,7 @@ A100_REFERENCE_SAMPLES_PER_HR = 257.0
 def main():
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
+    bf16 = os.environ.get('BENCH_BF16', '0') == '1'
 
     from abx_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -44,10 +45,11 @@ def main():
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
     from abx_tpu.utils import checkpoint as ckpt_lib
 
-    params_cache = os.path.join(REPO, '.cache', 'bench_params.msgpack')
+    # v2: params-tree layout version (bump on structural changes)
+    params_cache = os.path.join(REPO, '.cache', 'bench_params_v2.msgpack')
     rt = runner.build_runtime(
         None, params_cache if os.path.exists(params_cache) else None,
-        tiny=False, seed=0)
+        tiny=False, seed=0, bf16=bf16)
     if not os.path.exists(params_cache):
         ckpt_lib.save_params(params_cache, rt.params)
 
@@ -90,6 +92,7 @@ def main():
             'batch': batch,
             'num_t': num_t,
             'compile_s': round(compile_s, 1),
+            'bf16': bf16,
             'device': str(jax.devices()[0]),
         },
     }
