@@ -33,6 +33,10 @@ def main():
     p.add_argument('--seed', type=int, default=42)
     p.add_argument('--tiny', action='store_true',
                    help='tiny random model (smoke runs)')
+    p.add_argument('--esm_checkpoint', type=str, default=None,
+                   help='ESM2 weights (.pt fair-esm or converted msgpack)')
+    p.add_argument('--bf16', action='store_true',
+                   help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu')")
     p.add_argument('--verbose', action='store_true')
@@ -47,7 +51,8 @@ def main():
         format='%(asctime)-15s [%(levelname)s] %(message)s')
 
     rt = runner.build_runtime(args.model_config, args.model, tiny=args.tiny,
-                              seed=args.seed)
+                              seed=args.seed, bf16=args.bf16,
+                              esm_checkpoint=args.esm_checkpoint)
     complexes = runner.load_complexes(None, None, args.pdb_file, rt)
     out_dir = os.path.join(args.output_dir, args.mode)
     runner.run_sampling(

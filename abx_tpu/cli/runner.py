@@ -44,13 +44,15 @@ class Runtime:
     model: ScoreNetwork
     params: Dict
     data_config: DataConfig
+    esm_fn: Optional[object] = None
 
 
 def build_runtime(model_config_path: Optional[str] = None,
                   checkpoint_path: Optional[str] = None,
                   tiny: bool = False,
                   seed: int = 0,
-                  bf16: bool = False) -> Runtime:
+                  bf16: bool = False,
+                  esm_checkpoint: Optional[str] = None) -> Runtime:
     from abx_tpu.utils.compile_cache import enable as _enable_cache
     _enable_cache()
     if tiny:
@@ -80,7 +82,42 @@ def build_runtime(model_config_path: Optional[str] = None,
     else:
         params = _random_init(model, cfg, diffuser, seed)
         logger.warning('no checkpoint: using randomly initialised weights')
-    return Runtime(cfg, diffuser, model, params, dcfg)
+
+    esm_fn = None
+    if esm_checkpoint:
+        esm_fn = _build_esm_fn(esm_checkpoint, cfg, bf16)
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+    return Runtime(cfg, diffuser, model, params, dcfg, esm_fn)
+
+
+def _build_esm_fn(esm_checkpoint: str, cfg, bf16: bool):
+    """Load + convert an ESM2 checkpoint and wrap it for the network."""
+    import jax.numpy as jnp
+    from abx_tpu.models.esm import (ESM2, ESM2Config, build_esm_tokens,
+                                    extract_antibody_reprs)
+    from abx_tpu.utils import checkpoint as ckpt_lib
+    es_cfg_conf = cfg.model.embeddings_and_seqformer.esm
+    esm_cfg = ESM2Config(num_layers=es_cfg_conf.num_layers,
+                         embed_dim=es_cfg_conf.embed_channel,
+                         attention_heads=max(4, es_cfg_conf.embed_channel
+                                             // 64))
+    if esm_checkpoint.endswith(('.pt', '.pth', '.ckpt')):
+        from abx_tpu.utils.torch_convert import convert_esm2_ckpt
+        esm_params = convert_esm2_ckpt(esm_checkpoint, esm_cfg.num_layers)
+    else:
+        esm_params = ckpt_lib.load_params(esm_checkpoint)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    esm_model = ESM2(esm_cfg, dtype=dtype)
+    l_ab = cfg.data.max_antibody_len
+    sep = es_cfg_conf.esm_embed.sep_pad_num
+
+    def esm_fn(ab_aatype, heavy_len, light_len):
+        tokens = build_esm_tokens(ab_aatype, heavy_len, light_len, sep)
+        reprs = esm_model.apply(esm_params, tokens)
+        return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab,
+                                      sep)
+    return esm_fn
 
 
 def _random_init(model, cfg, diffuser, seed: int):
@@ -147,7 +184,8 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                                      else 'design')),
             opt_step=opt_step, generate_area=generate_area,
             collect_trajectory=(mode_name == 'trajectory'))
-        return Sampler(runtime.model, runtime.diffuser, cfg.model, scfg)
+        return Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
+                       esm_fn=runtime.esm_fn)
 
     os.makedirs(output_dir, exist_ok=True)
     ref_dir = os.path.join(output_dir, 'reference')
@@ -165,8 +203,12 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
 
         for feats, meta in complexes:
             name = meta['name']
-            batch = ds.stack_batch([feats])
-            postprocess_reference(ref_dir, meta, batch)
+            try:
+                batch = ds.stack_batch([feats])
+                postprocess_reference(ref_dir, meta, batch)
+            except Exception:
+                logger.exception('failed preparing %s; skipping', name)
+                continue
 
             remaining = num_samples
             sample_idx = 0
@@ -180,8 +222,15 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                     jax.random.fold_in(jax.random.PRNGKey(seed),
                                        hash(name) & 0x7fffffff), sample_idx)
                 t0 = time.time()
-                result = sampler.sample(runtime.params, sharded, key)
-                result = jax.tree.map(np.asarray, result)
+                try:
+                    result = sampler.sample(runtime.params, sharded, key)
+                    result = jax.tree.map(np.asarray, result)
+                except Exception:
+                    # Per-complex resilience (reference inference.py:301-302)
+                    # with deterministic keys: any failed complex/sample can
+                    # be recomputed idempotently from its key.
+                    logger.exception('sampling failed for %s; skipping', name)
+                    break
                 elapsed = time.time() - t0
                 logger.info('%s: %d samples in %.2fs (%.2f samples/s)',
                             name, n, elapsed, n / elapsed)

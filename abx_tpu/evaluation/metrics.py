@@ -143,3 +143,87 @@ def calc_ab_metrics(gt_coord: np.ndarray, pred_coord: np.ndarray,
                     out[f'{prefix}_{tag}_aar'] = float(
                         (gt_seq_sel[tidx] == pred_seq_sel[tidx]).mean())
     return out
+
+
+def dihedral_angles(p0, p1, p2, p3):
+    """Dihedral about p1-p2 (praxeolitic formula); inputs (..., 3)."""
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+    b1n = b1 / (np.linalg.norm(b1, axis=-1, keepdims=True) + 1e-10)
+    v = b0 - np.sum(b0 * b1n, axis=-1, keepdims=True) * b1n
+    w = b2 - np.sum(b2 * b1n, axis=-1, keepdims=True) * b1n
+    x = np.sum(v * w, axis=-1)
+    y = np.sum(np.cross(b1n, v) * w, axis=-1)
+    return np.arctan2(y, x)
+
+
+def backbone_dihedrals(atom14: np.ndarray, mask14: np.ndarray):
+    """(phi, psi, omega) per residue from atom14 backbone coordinates."""
+    n, ca, c = atom14[:, 0], atom14[:, 1], atom14[:, 2]
+    L = atom14.shape[0]
+    phi = np.full((L,), np.nan)
+    psi = np.full((L,), np.nan)
+    omega = np.full((L,), np.nan)
+    bb_ok = mask14[:, :3].all(axis=-1)
+    for i in range(L):
+        if i > 0 and bb_ok[i - 1] and bb_ok[i]:
+            phi[i] = dihedral_angles(c[i - 1], n[i], ca[i], c[i])
+            omega[i] = dihedral_angles(ca[i - 1], c[i - 1], n[i], ca[i])
+        if i < L - 1 and bb_ok[i] and mask14[i + 1, 0]:
+            psi[i] = dihedral_angles(n[i], ca[i], c[i], atom14[i + 1, 0])
+    return phi, psi, omega
+
+
+def mds_from_distogram(dist: np.ndarray, num_iter: int = 0) -> np.ndarray:
+    """Classical multidimensional scaling: distance matrix -> 3D coords.
+
+    Equivalent surface to the reference's distogram->coordinates embedding
+    (abx/utils.py:179-292): double-center the squared distances, take the
+    top-3 eigenvectors.
+    """
+    n = dist.shape[0]
+    d2 = np.square(dist)
+    j = np.eye(n) - np.ones((n, n)) / n
+    b = -0.5 * j @ d2 @ j
+    vals, vecs = np.linalg.eigh(b)
+    idx = np.argsort(vals)[::-1][:3]
+    coords = vecs[:, idx] * np.sqrt(np.maximum(vals[idx], 0.0))
+    return coords
+
+
+def batch_rmsd_vs_npz(pred_dir: str, gt_npz_dir: str):
+    """Batch RMSD/AAR of predicted PDBs against ground-truth npz complexes
+    (reference eval/make_rmsd.py surface, usable for external predictors)."""
+    import glob
+    import os
+    from abx_tpu.data import dataset as ds_mod
+    from abx_tpu.data.pdb_io import parse_pdb
+
+    results = []
+    for f in sorted(glob.glob(os.path.join(pred_dir, '*.pdb'))):
+        name = os.path.splitext(os.path.basename(f))[0].split('@')[0]
+        npz = os.path.join(gt_npz_dir, f'{name}.npz')
+        if not os.path.exists(npz):
+            continue
+        raw = ds_mod.load_complex_npz(npz, name)
+        ex = ds_mod._npz_to_example(raw)
+        parts = name.split('_')
+        heavy, light = (parts[1], parts[2]) if len(parts) >= 3 \
+            else ('H', 'L')
+        chains = parse_pdb(f)
+        if heavy not in chains or light not in chains:
+            continue
+        pred_seq = chains[heavy].str_seq + chains[light].str_seq
+        pred_ca = np.concatenate([chains[heavy].coords[:, 1],
+                                  chains[light].coords[:, 1]])
+        gt_seq = ex['antibody_str_seq']
+        gt_ca = ex['antibody_coords'][:, 1]
+        gt_mask = ex['antibody_coord_mask'][:, 1]
+        if len(pred_seq) != len(gt_seq):
+            continue
+        m = calc_ab_metrics(gt_ca, pred_ca, gt_mask,
+                            ex['antibody_cdr_def'], gt_seq, pred_seq)
+        m['name'] = name
+        results.append(m)
+    return results

@@ -32,12 +32,14 @@ def get_prev(batch, outputs, prev_pos_config) -> Dict[str, jnp.ndarray]:
     prev_pos = frame_ops.dgram_from_positions(
         pb, prev_pos_config.num_bins, prev_pos_config.min_bin,
         prev_pos_config.max_bin)
+    # prev_* are carried across recycle/scan iterations: keep f32 so the
+    # loop carry dtype is stable whatever the trunk compute dtype is.
     return {
         'prev_pos': jax.lax.stop_gradient(prev_pos),
         'prev_seq': jax.lax.stop_gradient(
-            outputs['representations']['seq']),
+            outputs['representations']['seq'].astype(jnp.float32)),
         'prev_pair': jax.lax.stop_gradient(
-            outputs['representations']['pair']),
+            outputs['representations']['pair'].astype(jnp.float32)),
     }
 
 

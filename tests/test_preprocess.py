@@ -119,3 +119,50 @@ class TestRelax:
         s_near = lj_interface_score(base, exists, seq, near, exists, seq)
         s_far = lj_interface_score(base, exists, seq, far, exists, seq)
         assert s_near < s_far  # more negative = favourable
+
+
+class TestMetricsExtra:
+    def test_dihedrals_on_real_structure(self):
+        from abx_tpu.evaluation.metrics import backbone_dihedrals
+        chains = parse_pdb(PDB)
+        h = chains['H']
+        phi, psi, omega = backbone_dihedrals(h.coords[:50], h.coord_mask[:50])
+        # Omega peptide bonds are ~pi (trans) for nearly all residues.
+        om = omega[~np.isnan(omega)]
+        assert (np.abs(np.abs(om) - np.pi) < 0.5).mean() > 0.9
+        # Phi/psi lie in valid ranges.
+        assert np.nanmax(np.abs(phi)) <= np.pi + 1e-6
+
+    def test_mds_recovers_geometry(self):
+        from abx_tpu.evaluation.metrics import (aligned_rmsd,
+                                                mds_from_distogram)
+        rng = np.random.RandomState(0)
+        pts = rng.randn(30, 3) * 5
+        dist = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        rec = mds_from_distogram(dist)
+        # MDS is exact up to rigid transform + reflection.
+        err = min(aligned_rmsd(rec, pts), aligned_rmsd(rec * [-1, 1, 1], pts))
+        assert err < 1e-4
+
+    def test_graft_fv_places_designed_domain(self):
+        from abx_tpu.evaluation.grafting import graft_fv
+        from abx_tpu.preprocess.numbering import annotate_domain
+        chains = parse_pdb(PDB)
+        h = chains['H']
+        ann = annotate_domain(h.str_seq, 'H')
+        from abx_tpu.data.pdb_io import ChainData
+        sl = slice(ann.start, ann.end)
+        # "Designed" domain = original domain rotated+translated.
+        from scipy.spatial.transform import Rotation
+        rot = Rotation.from_rotvec([0.3, 0.2, 0.1]).as_matrix()
+        des_coords = (h.coords[sl] @ rot.T + np.array([5.0, 3.0, -2.0])
+                      ).astype(np.float32)
+        designed = ChainData('H', h.str_seq[sl], des_coords,
+                             h.coord_mask[sl], h.resseq[sl.start:sl.stop],
+                             h.icodes[sl.start:sl.stop])
+        full = graft_fv(h, designed, 'H')
+        assert full is not None
+        # Grafting must undo the rigid transform: coords match original.
+        sel = h.coord_mask[sl]
+        np.testing.assert_allclose(full[sl][sel], h.coords[sl][sel],
+                                   atol=1e-3)
