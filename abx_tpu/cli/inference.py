@@ -33,6 +33,8 @@ def main():
     p.add_argument('--batch_samples', type=int, default=None)
     p.add_argument('--seed', type=int, default=42)
     p.add_argument('--tiny', action='store_true')
+    p.add_argument('--resume', action='store_true',
+                   help='skip samples whose output PDB already exists')
     p.add_argument('--esm_checkpoint', type=str, default=None,
                    help='ESM2 weights (.pt fair-esm or converted msgpack)')
     p.add_argument('--bf16', action='store_true',
@@ -66,7 +68,7 @@ def main():
         rt, out_dir, args.mode, complexes, num_samples=args.num_samples,
         generate_area=args.generate_area, num_t=args.num_t,
         opt_steps=args.optimize_steps, seed=args.seed,
-        batch_samples=args.batch_samples)
+        batch_samples=args.batch_samples, resume=args.resume)
 
 
 if __name__ == '__main__':

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import zlib
 import os
 import time
 from typing import Dict, List, Optional, Sequence
@@ -165,7 +166,8 @@ def load_complexes(data_dir: Optional[str], name_idx: Optional[Sequence[str]],
 def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                  complexes, num_samples: int = 1, generate_area: str = 'H3',
                  num_t: Optional[int] = None, opt_steps: Sequence[int] = (),
-                 seed: int = 42, batch_samples: Optional[int] = None):
+                 seed: int = 42, batch_samples: Optional[int] = None,
+                 resume: bool = False):
     """Main sampling driver.
 
     For throughput, up to `batch_samples` independent samples of one complex
@@ -212,15 +214,29 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
 
             remaining = num_samples
             sample_idx = 0
+            if resume:
+                # Idempotent restart: deterministic per-sample keys mean a
+                # re-run regenerates identical samples, so existing outputs
+                # can be skipped wholesale (failure-recovery story,
+                # SURVEY.md §5).
+                while sample_idx < num_samples and os.path.exists(
+                        os.path.join(sub_dir, f'{sample_idx:04d}',
+                                     f'{name}.pdb')):
+                    sample_idx += 1
+                remaining = num_samples - sample_idx
+                if sample_idx:
+                    logger.info('%s: resuming at sample %d', name, sample_idx)
             while remaining > 0:
                 n = min(batch_samples, remaining)
                 tiled = {k: np.repeat(v, n, axis=0) for k, v in batch.items()}
                 padded, real_n = mesh_lib.pad_batch_to_devices(
                     tiled, len(devices))
                 sharded = mesh_lib.shard_batch(dev_mesh, padded)
+                # Stable across processes (Python's hash() is salted).
+                name_hash = zlib.crc32(name.encode('utf-8'))
                 key = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(seed),
-                                       hash(name) & 0x7fffffff), sample_idx)
+                    jax.random.fold_in(jax.random.PRNGKey(seed), name_hash),
+                    sample_idx)
                 t0 = time.time()
                 try:
                     result = sampler.sample(runtime.params, sharded, key)

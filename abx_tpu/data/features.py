@@ -141,6 +141,33 @@ def select_cdrs_mask(anchor_flag, antibody_len, cdr_enums,
 
 
 @register
+def make_static_pair_features(batch, is_training=False):
+    """Precompute the coordinate-derived pair-encoder inputs ONCE.
+
+    PairEmbedding's heaviest inputs — the 14x14 interatomic squared
+    distances and the pseudo-beta distogram bins — depend only on the fixed
+    ground-truth coordinates, yet the reference recomputes them inside every
+    trunk pass (3x per diffusion step, ~300x per trajectory;
+    encoder.py:247-261).  Hoisting them out of the scanned step trades one
+    (B, L, L, 196) resident tensor for the per-pass recompute.
+    """
+    from abx_tpu.geometry import frames as frame_ops
+    coords = batch['atom14_gt_positions']
+    coords_mask = batch['atom14_gt_exists']
+    n, l = coords.shape[:2]
+    dist2 = jnp.sum(jnp.square(
+        coords[:, :, None, :, None, :] - coords[:, None, :, None, :, :]),
+        axis=-1) / 100.0
+    batch['static_pair_dist2'] = dist2.reshape(n, l, l, -1)
+    ca = rc.atom_order['CA']
+    mask_atoms = coords_mask[..., ca]
+    batch['static_pair_atom_mask'] = (
+        mask_atoms[:, :, None, None] * mask_atoms[:, None, :, None])
+    batch['static_pseudo_beta_fixed'] = frame_ops.pseudo_beta_virtual(coords)
+    return batch
+
+
+@register
 def make_diffuser_features(batch, diffuser=None, generate_area='H3',
                            key=None, mode='design', t_value=None,
                            is_training=False):

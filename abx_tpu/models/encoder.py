@@ -113,23 +113,34 @@ class PairEmbedding(nn.Module):
         feat_relpos = feat_relpos * same_chain[..., None]
 
         # Learned-coefficient Gaussian of all 14x14 interatomic distances.
-        distance = jnp.linalg.norm(
-            coords[:, :, None, :, None, :] - coords[:, None, :, None, :, :],
-            axis=-1) / 10.0
-        distance = distance.reshape(n, l, l, -1)
+        # The squared distances + CA pair mask are static over the diffusion
+        # trajectory; the sampler precomputes them once
+        # (features.make_static_pair_features) and we fall back to computing
+        # in place (training / standalone use).
+        if 'static_pair_dist2' in batch:
+            dist2 = batch['static_pair_dist2']
+            mask_atom_pair = batch['static_pair_atom_mask']
+        else:
+            dist2 = jnp.sum(jnp.square(
+                coords[:, :, None, :, None, :]
+                - coords[:, None, :, None, :, :]), axis=-1) / 100.0
+            dist2 = dist2.reshape(n, l, l, -1)
+            mask_atom_pair = (mask_atoms[:, :, None, None]
+                              * mask_atoms[:, None, :, None])
         dist_coef_table = self.param(
             'aapair_to_distcoef', nn.initializers.zeros,
             (max_aa_types * max_aa_types, max_num_atoms * max_num_atoms))
         distance_coef = nn.softplus(
             jnp.take(dist_coef_table, aa_pair, axis=0)).astype(self.dtype)
-        d_gauss = jnp.exp(-distance_coef * jnp.square(distance))
-        mask_atom_pair = (mask_atoms[:, :, None, None]
-                          * mask_atoms[:, None, :, None])
+        d_gauss = jnp.exp(-distance_coef * dist2.astype(self.dtype))
         feat_dist = MLP((feat_dim, feat_dim), ('linear', 'linear'),
                         final_activation=True, dtype=self.dtype,
                         name='distance_embed')(d_gauss * mask_atom_pair)
 
-        pb = frame_ops.pseudo_beta_virtual(coords)
+        if 'static_pseudo_beta_fixed' in batch:
+            pb = batch['static_pseudo_beta_fixed']
+        else:
+            pb = frame_ops.pseudo_beta_virtual(coords)
         disto_bins = frame_ops.dgram_from_positions(
             pb, self.dgram_num_bins, self.dgram_min_bin, self.dgram_max_bin)
         feat_dgram = TokenEmbedding(self.dgram_num_bins, feat_dim,

@@ -75,14 +75,28 @@ class InvariantPointAttention(nn.Module):
         kv_point = kv_point_global.reshape(b, l, h, npv + npq, 3)
         k_point, v_point = jnp.split(kv_point, [npq], axis=-2)
 
-        dist2 = jnp.sum(
-            jnp.square(q_point[:, :, None] - k_point[:, None]), axis=[-1, -2])
-        # (b, i, j, h)
+        # ||q_i - k_j||^2 expanded as |q|^2 + |k|^2 - 2<q,k>: the cross term
+        # is a (n*3)=12-dim contraction the MXU handles as a batched matmul,
+        # replacing the O(L^2 * H * P * 3) broadcast tensor the direct form
+        # materialises (the reference's formulation, folding.py:95 — it was
+        # the single most expensive op in the whole network on TPU).
+        # Center to reduce |.|^2 magnitudes, and keep the cross term in full
+        # f32 precision — the expansion is cancellation-sensitive.
+        center = jnp.mean(k_point, axis=(1, 3), keepdims=True)
+        q_point = q_point - center
+        k_point = k_point - center
+        q2 = jnp.sum(jnp.square(q_point), axis=(-1, -2))  # (b, l, h)
+        k2 = jnp.sum(jnp.square(k_point), axis=(-1, -2))
+        cross = jnp.einsum('bihnr,bjhnr->bhij', q_point, k_point,
+                           precision=jax.lax.Precision.HIGHEST)
+        dist2 = (q2.transpose(0, 2, 1)[:, :, :, None]
+                 + k2.transpose(0, 2, 1)[:, :, None, :]
+                 - 2.0 * cross)  # (b, h, i, j)
         tpw = self.param('trainable_point_weights',
                          lambda key, shape: jnp.log(jnp.exp(
                              jnp.full(shape, 1.0)) - 1.0), (h,))
         pw = -0.5 * point_weights * jax.nn.softplus(tpw)
-        attn_qk_point = jnp.moveaxis(pw * dist2, -1, 1)  # (b, h, i, j)
+        attn_qk_point = pw[None, :, None, None] * dist2  # (b, h, i, j)
 
         attn_logits = attn_qk_scalar.astype(jnp.float32) + attn_qk_point
 

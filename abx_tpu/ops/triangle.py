@@ -43,13 +43,15 @@ def _kernel(left_ref, right_ref, out_ref, acc_ref, *, n_k: int,
 
     lk = left_ref[0]    # per_row: (TI, TK, C); per_col: (TK, TI, C)
     rk = right_ref[0]   # per_row: (TJ, TK, C); per_col: (TK, TJ, C)
+    # Mosaic requires matmul batch dims at position 0: move channels first.
     if per_row:
-        # (TI, TK, C) x (TJ, TK, C) -> (C, TI, TJ): contract k, batch c.
-        dn = (((1,), (1,)), ((2,), (2,)))
+        lc = jnp.transpose(lk, (2, 0, 1))   # (C, TI, TK)
+        rc = jnp.transpose(rk, (2, 0, 1))   # (C, TJ, TK)
     else:
-        # (TK, TI, C) x (TK, TJ, C) -> (C, TI, TJ): contract k(0), batch c.
-        dn = (((0,), (0,)), ((2,), (2,)))
-    prod = jax.lax.dot_general(lk, rk, dimension_numbers=dn,
+        lc = jnp.transpose(lk, (2, 1, 0))   # (C, TI, TK)
+        rc = jnp.transpose(rk, (2, 1, 0))   # (C, TJ, TK)
+    dn = (((2,), (2,)), ((0,), (0,)))       # contract k, batch c
+    prod = jax.lax.dot_general(lc, rc, dimension_numbers=dn,
                                preferred_element_type=jnp.float32)
     acc_ref[...] += prod  # (C, TI, TJ)
 

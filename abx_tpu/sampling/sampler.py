@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
+from abx_tpu.data.features import (FeatureBuilder, make_diffuser_features,
+                                   make_static_pair_features)
 from abx_tpu.models.network import (forward_with_recycling, get_prev,
                                     zero_prev)
 
@@ -80,6 +81,8 @@ class Sampler:
         batch = make_diffuser_features(
             batch, diffuser=self.diffuser, generate_area=c.generate_area,
             key=key, mode=mode, t_value=t_value)
+        # Hoist coordinate-only pair-encoder inputs out of the scanned step.
+        batch = make_static_pair_features(batch)
         return batch
 
     # -- the scanned step ---------------------------------------------------

@@ -166,3 +166,31 @@ class TestMetricsExtra:
         sel = h.coord_mask[sl]
         np.testing.assert_allclose(full[sl][sel], h.coords[sl][sel],
                                    atol=1e-3)
+
+
+class TestProteinDataclass:
+    def test_to_pdb_roundtrip(self, tmp_path):
+        from abx_tpu.common import protein as protein_lib
+        chains = parse_pdb(PDB)
+        h = chains['H']
+        n = 20
+        aatype = rc.sequence_to_index(h.str_seq[:n])
+        a14_to_37 = rc.restype_atom14_to_atom37[np.clip(aatype, 0, 20)]
+        pos37 = np.zeros((n, 37, 3), np.float32)
+        mask37 = np.zeros((n, 37), np.float32)
+        for i in range(n):
+            for j in range(14):
+                if h.coord_mask[i, j]:
+                    pos37[i, a14_to_37[i, j]] = h.coords[i, j]
+                    mask37[i, a14_to_37[i, j]] = 1.0
+        prot = protein_lib.Protein(
+            atom_positions=pos37, aatype=aatype, atom_mask=mask37,
+            residue_index=np.arange(n), b_factors=np.zeros((n, 37)))
+        text = protein_lib.to_pdb(prot)
+        f = tmp_path / 'x.pdb'
+        f.write_text(text)
+        back = parse_pdb(str(f))
+        assert back['A'].str_seq == h.str_seq[:n]
+        sel = h.coord_mask[:n, 1]
+        np.testing.assert_allclose(back['A'].coords[sel, 1],
+                                   h.coords[:n][sel, 1], atol=2e-3)
