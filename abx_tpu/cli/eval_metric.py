@@ -68,6 +68,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--data_dir', type=str, required=True)
     p.add_argument('--output_csv', type=str, default=None)
+    p.add_argument('--energy', action='store_true',
+                   help='also compute interface energy (PyRosetta ref2015 '
+                        'when available, else LJ proxy)')
     p.add_argument('--cpus', type=int, default=1)
     p.add_argument('--verbose', action='store_true')
     args = p.parse_args()
@@ -95,11 +98,27 @@ def main():
         if name in refs:
             jobs.append((f, refs[name]))
 
-    if args.cpus > 1:
+    def eval_with_energy(pred_file, ref):
+        m = eval_one(pred_file, ref)
+        if m is not None and args.energy:
+            from abx_tpu.evaluation.relax import interface_energy
+            name = os.path.splitext(os.path.basename(pred_file))[0]
+            parts = name.split('_')
+            ab = parts[1:3] if len(parts) >= 3 else ['H', 'L']
+            ag = parts[3].split('|') if len(parts) > 3 else []
+            try:
+                e, backend = interface_energy(pred_file, ab, ag)
+                m['interface_energy'] = e
+                m['energy_backend'] = backend
+            except Exception as exc:
+                logger.warning('energy failed for %s: %s', pred_file, exc)
+        return m
+
+    if args.cpus > 1 and not args.energy:
         with mp.Pool(args.cpus) as pool:
             results = pool.starmap(eval_one, jobs)
     else:
-        results = [eval_one(*j) for j in jobs]
+        results = [eval_with_energy(*j) for j in jobs]
     results = [r for r in results if r]
 
     if not results:

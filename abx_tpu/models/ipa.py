@@ -32,7 +32,8 @@ class InvariantPointAttention(nn.Module):
     dist_epsilon: float = 1e-8
 
     @nn.compact
-    def __call__(self, inputs_1d, inputs_2d, mask, rigids: Rigid):
+    def __call__(self, inputs_1d, inputs_2d, mask, rigids: Rigid,
+                 pair_bias=None):
         c = self.config
         h = c.num_head
         nsq, npq = c.num_scalar_qk, c.num_point_qk
@@ -100,10 +101,13 @@ class InvariantPointAttention(nn.Module):
 
         attn_logits = attn_qk_scalar.astype(jnp.float32) + attn_qk_point
 
-        attention_2d = Linear(h, init='attn', dtype=self.dtype,
-                              name='proj_pair')(inputs_2d)
-        attn_logits = attn_logits + attention_2d_weights * jnp.moveaxis(
-            attention_2d, -1, 1).astype(jnp.float32)
+        # The pair bias is layer-invariant (shared weights over a static
+        # pair track): callers running several layers hoist it via
+        # `compute_pair_bias` once instead of re-reading the O(L^2 * C)
+        # pair tensor per layer.
+        if pair_bias is None:
+            pair_bias = self.compute_pair_bias(inputs_2d)
+        attn_logits = attn_logits + pair_bias.astype(jnp.float32)
 
         mask_2d = mask[:, None, :, None] * mask[:, None, None, :]
         attn_logits = attn_logits + (1.0 - mask_2d) * BIG_NEG
@@ -135,6 +139,15 @@ class InvariantPointAttention(nn.Module):
         final_act = jnp.concatenate(outputs, axis=-1)
         return Linear(c.num_channel, init='final', dtype=self.dtype,
                       name='final_proj')(final_act)
+
+
+    @nn.compact
+    def compute_pair_bias(self, inputs_2d):
+        """(B, L, L, C) -> scaled (B, H, L, L) attention bias."""
+        c = self.config
+        attention_2d = Linear(c.num_head, init='attn', dtype=self.dtype,
+                              name='proj_pair')(inputs_2d)
+        return np.sqrt(1.0 / 3) * jnp.moveaxis(attention_2d, -1, 1)
 
 
 class TorsionModule(nn.Module):
@@ -198,6 +211,7 @@ class IpaScore(nn.Module):
                          name='proj_seq')(seq_act)
 
         ipa = InvariantPointAttention(c, dtype=self.dtype, name='ipa')
+        pair_bias = ipa.compute_pair_bias(pair_act)
         attn_norm = LayerNorm(dtype=self.dtype, name='attention_norm')
         transition_layers = [
             Linear(c.num_channel,
@@ -224,7 +238,8 @@ class IpaScore(nn.Module):
         for it in range(c.num_layer):
             is_last = it == c.num_layer - 1
             rig = Rigid(curr_rots, curr_trans)
-            seq_act = seq_act + ipa(seq_act, pair_act, node_mask, rig)
+            seq_act = seq_act + ipa(seq_act, pair_act, node_mask, rig,
+                                    pair_bias=pair_bias)
             if not deterministic:
                 seq_act = nn.Dropout(c.dropout)(
                     seq_act, deterministic=False,

@@ -58,8 +58,13 @@ def _align_semiglobal(query: str, template: str,
                       ) -> List[Tuple[int, int]]:
     """Semi-global NW: free end-gaps in the query (template aligns inside).
 
-    Returns list of (query_idx, template_idx) aligned pairs.
+    Returns list of (query_idx, template_idx) aligned pairs.  Uses the
+    native C implementation (abx_tpu/native) when available.
     """
+    from abx_tpu import native
+    pairs = native.nw_align(query, template, match, mismatch, gap)
+    if pairs is not None:
+        return pairs
     nq, nt = len(query), len(template)
     score = np.zeros((nq + 1, nt + 1), dtype=np.int32)
     ptr = np.zeros((nq + 1, nt + 1), dtype=np.int8)  # 0 diag, 1 up, 2 left

@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
+from abx_tpu.data.features import (FeatureBuilder,
+                                   make_diffuser_features,
+                                   make_static_pair_features)
 from abx_tpu.parallel import mesh as mesh_lib
 from abx_tpu.train.losses import total_loss
 from abx_tpu.utils import checkpoint as ckpt_lib
@@ -76,6 +78,7 @@ class Trainer:
             batch = make_diffuser_features(
                 batch, diffuser=diffuser, generate_area=cfg.generate_area,
                 key=k_noise, mode='train', is_training=True)
+            batch = make_static_pair_features(batch)
             outputs = model.apply(params, batch, compute_loss=True,
                                   deterministic=False,
                                   rngs={'dropout': k_drop})

@@ -194,3 +194,23 @@ class TestProteinDataclass:
         sel = h.coord_mask[:n, 1]
         np.testing.assert_allclose(back['A'].coords[sel, 1],
                                    h.coords[:n][sel, 1], atol=2e-3)
+
+
+class TestNativeAlign:
+    def test_native_matches_python(self):
+        from abx_tpu import native
+        import abx_tpu.preprocess.numbering as nb
+        if native._load() is None:
+            pytest.skip('no C compiler available')
+        chains = parse_pdb(PDB)
+        for cid, tmpl in [('H', nb._HEAVY_TEMPLATE[0]),
+                          ('L', nb._KAPPA_TEMPLATE[0])]:
+            seq = chains[cid].str_seq
+            c_pairs = native.nw_align(seq, tmpl)
+            orig = native.nw_align
+            try:
+                native.nw_align = lambda *a, **k: None
+                py_pairs = nb._align_semiglobal(seq, tmpl)
+            finally:
+                native.nw_align = orig
+            assert c_pairs == py_pairs
