@@ -254,3 +254,24 @@ def extract_antibody_reprs(reprs, heavy_len, light_len, l_ab, sep_pad_num=48):
     # Zero padded antibody positions.
     valid = (ab_pos < h + light_len[:, None])[..., None, None]
     return jnp.where(valid, out, 0.0)
+
+
+class ESM2LMHead(nn.Module):
+    """Masked-LM head (fair-esm RobertaLMHead): dense -> gelu -> LN -> tied
+    output projection + bias."""
+    config: ESM2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, embed_weight=None):
+        c = self.config
+        x = nn.Dense(c.embed_dim, dtype=self.dtype, name='dense')(features)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(dtype=jnp.float32, name='layer_norm')(
+            x.astype(jnp.float32)).astype(self.dtype)
+        if embed_weight is None:
+            embed_weight = self.param(
+                'weight', nn.initializers.normal(0.02),
+                (c.alphabet_size, c.embed_dim))
+        bias = self.param('bias', nn.initializers.zeros, (c.alphabet_size,))
+        return x @ embed_weight.T.astype(self.dtype) + bias

@@ -285,6 +285,13 @@ def convert_esm2_ckpt(path: str, num_layers: int) -> Dict:
         'embed_tokens': {'embedding': np.asarray(sd['embed_tokens.weight'])},
         'emb_layer_norm_after': _ln(None, 'emb_layer_norm_after', sd),
     }
+    if 'lm_head.dense.weight' in sd:
+        p['lm_head'] = {
+            'dense': _linear(sd, 'lm_head.dense'),
+            'layer_norm': _ln(None, 'lm_head.layer_norm', sd),
+            'weight': np.asarray(sd['lm_head.weight']),
+            'bias': np.asarray(sd['lm_head.bias']),
+        }
     for i in range(num_layers):
         b = f'layers.{i}'
         p[f'layer_{i}'] = {
