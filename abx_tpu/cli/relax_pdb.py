@@ -28,11 +28,14 @@ def relax_one(pdb_file: str, output_file: str) -> bool:
     parts = name.split('_')
     heavy_id, light_id = (parts[1], parts[2]) if len(parts) >= 3 \
         else ('H', 'L')
+    antigen_ids = parts[3].split('|') if len(parts) > 3 else []
     chains = parse_pdb(pdb_file)
     if heavy_id not in chains or light_id not in chains:
         logger.warning('%s: missing antibody chains', pdb_file)
         return False
 
+    # Antibody chains (CDRs movable) + antigen chains (fixed context) all
+    # enter the energy so CDRs cannot be minimised into the antigen.
     seqs, coords, masks, move, resseq = [], [], [], [], []
     offset = 0
     for cid, tag in ((heavy_id, 'H'), (light_id, 'L')):
@@ -51,6 +54,19 @@ def relax_one(pdb_file: str, output_file: str) -> bool:
         move.append(cdr_mask)
         resseq.append(np.arange(n) + offset)
         offset += n + 512
+    ag_data = []
+    for cid in antigen_ids:
+        if cid not in chains:
+            continue
+        data = chains[cid]
+        n = len(data.str_seq)
+        ag_data.append(data)
+        seqs.append(data.str_seq)
+        coords.append(data.coords)
+        masks.append(data.coord_mask)
+        move.append(np.zeros((n,), np.float32))
+        resseq.append(np.arange(n) + offset)
+        offset += n + 512
 
     seq_idx = rc.sequence_to_index(''.join(seqs))
     atom14 = np.concatenate(coords)
@@ -63,10 +79,24 @@ def relax_one(pdb_file: str, output_file: str) -> bool:
                 name, metrics['energy_before'], metrics['energy_after'],
                 metrics['clash_before'], metrics['clash_after'])
 
-    h_len = len(seqs[0])
-    plddt = np.full((len(seq_idx),), 99.0)
+    h_len, l_len = len(seqs[0]), len(seqs[1])
+    ab_len = h_len + l_len
+    plddt = np.full((ab_len,), 99.0)
+    antigen_data = None
+    if ag_data:
+        antigen_data = {
+            'antigen_str_seq': ''.join(d.str_seq for d in ag_data),
+            'antigen_coords': np.concatenate(
+                [d.coords for d in ag_data]),
+            'antigen_coord_mask': np.concatenate(
+                [d.coord_mask for d in ag_data]),
+            'antigen_chain_ids': np.concatenate(
+                [np.full((len(d.str_seq),), i + 2)
+                 for i, d in enumerate(ag_data)]),
+            'antigen_chains': [d.chain_id for d in ag_data],
+        }
     save_complex_pdb(output_file, seqs[0], heavy_id, seqs[1], light_id,
-                     relaxed, plddt, None)
+                     relaxed[:ab_len], plddt, antigen_data)
     return True
 
 

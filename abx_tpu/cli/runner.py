@@ -67,6 +67,11 @@ def build_runtime(model_config_path: Optional[str] = None,
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     dcfg = DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len,
                       cfg.data.patch_radius, cfg.data.anchor_neighbors)
+    if esm_checkpoint:
+        # Must happen BEFORE param init/conversion so the trunk's ESM
+        # projection params are created and mapped.
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = ScoreNetwork(cfg.model, diffuser=diffuser,
                          antibody_len=cfg.data.max_antibody_len,
@@ -87,8 +92,6 @@ def build_runtime(model_config_path: Optional[str] = None,
     esm_fn = None
     if esm_checkpoint:
         esm_fn = _build_esm_fn(esm_checkpoint, cfg, bf16)
-        with cfg.unlocked():
-            cfg.model.embeddings_and_seqformer.esm.enabled = True
     return Runtime(cfg, diffuser, model, params, dcfg, esm_fn)
 
 
@@ -124,6 +127,12 @@ def _build_esm_fn(esm_checkpoint: str, cfg, bf16: bool):
 def _random_init(model, cfg, diffuser, seed: int):
     from abx_tpu.data.features import FeatureBuilder, make_diffuser_features
     l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+    es = cfg.model.embeddings_and_seqformer.esm
+    esm_fn = None
+    if es.enabled:
+        def esm_fn(ab_aatype, heavy_len, light_len):  # init-time stub
+            return jnp.zeros(ab_aatype.shape + (es.embed_channel,
+                                                es.num_layers + 1))
     l = l_ab + l_ag
     dummy = {
         'seq': jnp.zeros((1, l), jnp.int32),
@@ -136,11 +145,14 @@ def _random_init(model, cfg, diffuser, seed: int):
         'anchor_flag': jnp.zeros((1, l_ab), jnp.int32)
                         .at[:, 10].set(5).at[:, 20].set(5),
     }
+    dummy['heavy_len'] = jnp.asarray([l_ab // 2], jnp.int32)
+    dummy['light_len'] = jnp.asarray([l_ab // 2], jnp.int32)
     dummy = FeatureBuilder()(dummy)
     dummy = make_diffuser_features(
         dummy, diffuser=diffuser, generate_area='H3',
         key=jax.random.PRNGKey(0), mode='design')
-    return model.init(jax.random.PRNGKey(seed), dummy, compute_loss=True)
+    return model.init(jax.random.PRNGKey(seed), dummy, compute_loss=True,
+                      esm_fn=esm_fn)
 
 
 def load_complexes(data_dir: Optional[str], name_idx: Optional[Sequence[str]],
@@ -215,14 +227,17 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
             remaining = num_samples
             sample_idx = 0
             if resume:
-                # Idempotent restart: deterministic per-sample keys mean a
-                # re-run regenerates identical samples, so existing outputs
-                # can be skipped wholesale (failure-recovery story,
-                # SURVEY.md §5).
+                # Idempotent restart: sample keys are derived per CHUNK
+                # (fold_in(chunk start index)), so identical regeneration
+                # holds at chunk granularity — resume rounds down to the
+                # last complete chunk boundary and must use the same
+                # batch_samples as the original run (failure-recovery
+                # story, SURVEY.md §5).
                 while sample_idx < num_samples and os.path.exists(
                         os.path.join(sub_dir, f'{sample_idx:04d}',
                                      f'{name}.pdb')):
                     sample_idx += 1
+                sample_idx = (sample_idx // batch_samples) * batch_samples
                 remaining = num_samples - sample_idx
                 if sample_idx:
                     logger.info('%s: resuming at sample %d', name, sample_idx)

@@ -112,21 +112,45 @@ def make_torsion_angles(batch, is_training=False):
 
 
 def select_cdrs_mask(anchor_flag, antibody_len, cdr_enums,
-                     mask_template) -> jnp.ndarray:
+                     mask_template, key=None, shrink_limit: int = 1,
+                     extend_limit: int = 2) -> jnp.ndarray:
     """Diffused-residue mask between anchor pairs of the chosen CDRs.
 
     `anchor_flag` (B, L_ab) holds the CDR enum at the two anchor residues
     flanking each CDR (reference features.py:158-167): residues strictly
     between the anchors are diffused.
+
+    Training augmentation (key != None; reference features.py:143-167):
+    a random non-empty subset of the selected CDRs is diffused and each
+    boundary is jittered by [-shrink_limit, extend_limit].
     """
     b, l_ab = anchor_flag.shape
+    n_cdr = len(cdr_enums)
     pos = jnp.arange(l_ab)
+
+    if key is not None:
+        k_u, k_tau, k_jit = jax.random.split(key, 3)
+        u = jax.random.uniform(k_u, (b, n_cdr))
+        tau = jax.random.uniform(k_tau, (b, 1))
+        include = u <= tau
+        # Guarantee at least one CDR per example.
+        none = ~jnp.any(include, axis=-1)
+        best = jax.nn.one_hot(jnp.argmax(u, axis=-1), n_cdr, dtype=bool)
+        include = include | (best & none[:, None])
+        jitter = jax.random.randint(
+            k_jit, (b, n_cdr, 2), -shrink_limit, extend_limit + 1)
+    else:
+        include = jnp.ones((b, n_cdr), dtype=bool)
+        jitter = jnp.zeros((b, n_cdr, 2), dtype=jnp.int32)
+
     diffused = jnp.zeros((b, l_ab), dtype=jnp.int32)
-    for enum in cdr_enums:
+    for idx, enum in enumerate(cdr_enums):
         is_anchor = (anchor_flag == enum)
-        any_anchor = jnp.any(is_anchor, axis=-1)
+        any_anchor = jnp.any(is_anchor, axis=-1) & include[:, idx]
         first = jnp.argmax(is_anchor, axis=-1)             # left anchor
         last = l_ab - 1 - jnp.argmax(is_anchor[:, ::-1], axis=-1)
+        first = jnp.clip(first - jitter[:, idx, 0], 0, l_ab - 1)
+        last = jnp.clip(last + jitter[:, idx, 1], 0, l_ab - 1)
         # Parity quirk: the reference diffuses slice(first+1, last-1)
         # (features.py:166), i.e. the residue at last-1 — the final CDR
         # residue — stays FIXED.  Reproduced as-is for checkpoint parity.
@@ -191,8 +215,10 @@ def make_diffuser_features(batch, diffuser=None, generate_area='H3',
     else:
         cdr_enums = [rc.cdr_str_to_enum[generate_area]]
 
-    diffused_mask = select_cdrs_mask(anchor_flag, antibody_len, cdr_enums,
-                                     batch['mask'])
+    key, k_mask = jax.random.split(key)
+    diffused_mask = select_cdrs_mask(
+        anchor_flag, antibody_len, cdr_enums, batch['mask'],
+        key=k_mask if (is_training and mode == 'train') else None)
     diffused_mask = diffused_mask * batch['mask'].astype(jnp.int32)
     fixed_mask = 1 - diffused_mask
 

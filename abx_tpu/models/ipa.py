@@ -282,9 +282,11 @@ class IpaScore(nn.Module):
                 angles = jnp.where(fm > 0, gt_torsions, angles)
                 unnorm_angles = jnp.where(fm > 0, gt_torsions, unnorm_angles)
             else:
+                # Reference detaches only rots/quats between layers
+                # (score_network.py:162-163); delta_quat keeps accumulating
+                # gradient from every layer's affine update into rot_score.
                 curr_rots = jax.lax.stop_gradient(curr_rots)
                 curr_quats = jax.lax.stop_gradient(curr_quats)
-                delta_quat = jax.lax.stop_gradient(delta_quat)
 
         # Net rotation relative to the input rigids.
         curr_quats_final = quat_ops.quat_multiply(init_quats, delta_quat)

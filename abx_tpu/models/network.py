@@ -139,7 +139,12 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
 
     carry = (batch['prev_pos'], batch['prev_seq'], batch['prev_pair'],
              batch['seq_t'].astype(jnp.int32))
-    if num_recycle > 0:
+    if isinstance(num_recycle, int):
+        if num_recycle > 0:
+            carry = jax.lax.fori_loop(0, num_recycle, body, carry)
+    else:
+        # Traced count (training samples recycle depth, reference
+        # abx.py:87-91); fori_loop supports dynamic trip counts.
         carry = jax.lax.fori_loop(0, num_recycle, body, carry)
     return apply_single(with_prev(carry), compute_loss)
 

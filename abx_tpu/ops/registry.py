@@ -1,0 +1,15 @@
+"""Kernel dispatch switches.
+
+Pallas kernels are opt-in per op: XLA's stock lowering is already strong for
+several of these (measured: the triangle einsum hits ~72% of bf16 peak on
+v5e), so kernels default off and are enabled via environment variables for
+benchmarking or when profiling shows a win on the target topology.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def use_pallas_triangle() -> bool:
+    return os.environ.get('ABX_PALLAS_TRIANGLE', '0') == '1'

@@ -67,6 +67,13 @@ class Sampler:
             opt_t = c.opt_step / c.num_t
             steps = steps[steps <= opt_t + 1e-8]
         self.reverse_steps = jnp.asarray(steps, dtype=jnp.float32)
+        # Parity (inference.py:213-248): at the final step (t <= min_t) the
+        # reference skips _set_t_feats, so the model sees the PREVIOUS
+        # step's t features; reproduce via a separate model-t grid.
+        t_model = steps.copy()
+        if len(steps) > 1 and steps[-1] <= c.min_t + 1e-8:
+            t_model[-1] = steps[-2]
+        self.model_steps = jnp.asarray(t_model, dtype=jnp.float32)
         self.dt = jnp.asarray(1.0 / c.num_t, dtype=jnp.float32)
 
         self._run = jax.jit(self._build_run())
@@ -145,26 +152,31 @@ class Sampler:
             if c.self_conditioning and self.reverse_steps.shape[0] > 0:
                 ts = jnp.concatenate(
                     [self.reverse_steps[:1], self.reverse_steps])
+                ts_model = jnp.concatenate(
+                    [self.model_steps[:1], self.model_steps])
                 is_prime = jnp.zeros_like(ts).at[0].set(1.0)
             else:
                 ts = self.reverse_steps
+                ts_model = self.model_steps
                 is_prime = jnp.zeros_like(ts)
 
             def step(carry, xs):
-                t, prime = xs
+                t, t_model, prime = xs
                 state, key = carry
                 key, k_rev = jax.random.split(key)
-                mb = model_batch(state, t)
+                mb = model_batch(state, t_model)
                 out = forward(params, mb)
                 folding = out['heads']['folding']
                 seq_head = out['heads']['sequence_module']
 
                 prev = get_prev(mb, out, prev_pos_cfg)
 
+                b_loc = mb['seq'].shape[0]
+                t_rev = jnp.full((b_loc,), t, dtype=jnp.float32)
                 rigids_rev, seq_rev = diffuser.reverse(
                     k_rev, state['rigids_t'], state['seq_t'],
                     folding['rot_score'], folding['trans_score'],
-                    seq_head['logits'], mb['t'], self.dt,
+                    seq_head['logits'], t_rev, self.dt,
                     diffuse_mask=diffuse_mask, center=c.center,
                     noise_scale=c.noise_scale)
 
@@ -195,7 +207,7 @@ class Sampler:
                 return (new_state, key), step_out
 
             (final_state, _), steps_out = jax.lax.scan(
-                step, (state, k_scan), (ts, is_prime))
+                step, (state, k_scan), (ts, ts_model, is_prime))
             if c.self_conditioning and self.reverse_steps.shape[0] > 0:
                 # Drop the prime step from collected outputs.
                 steps_out = jax.tree.map(lambda x: x[1:], steps_out)

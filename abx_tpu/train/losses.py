@@ -125,10 +125,12 @@ def backbone_fape(pred_frames: Rigid, gt_frames: Rigid, frames_mask,
                   pred_pos, gt_pos, pos_mask, clamp_distance: float,
                   length_scale: float, unclamped_ratio: float = 0.0,
                   pair_weight=None, eps: float = 1e-6):
-    """Frame-aligned point error (AF2 eq. 28).
+    """Frame-aligned point error (AF2 eq. 28), PER BATCH ELEMENT.
 
     pred/gt frames: Rigid (B, F); positions (B, P, 3).
     pair_weight: optional (B, F, P) weighting (e.g. interface pairs).
+    Returns (B,) so callers can gate per-example (each example carries its
+    own diffusion time t).
     """
     local_pred = pred_frames.invert()[..., None].apply(
         pred_pos[..., None, :, :])
@@ -141,8 +143,8 @@ def backbone_fape(pred_frames: Rigid, gt_frames: Rigid, frames_mask,
     mask = frames_mask[..., :, None] * pos_mask[..., None, :]
     if pair_weight is not None:
         mask = mask * pair_weight
-    return jnp.sum(clamped * mask) / (length_scale *
-                                      (jnp.sum(mask) + 1e-10))
+    return jnp.sum(clamped * mask, axis=(-1, -2)) / (
+        length_scale * (jnp.sum(mask, axis=(-1, -2)) + 1e-10))
 
 
 def folding_loss(batch: Dict, folding: Dict, cfg: Any,
@@ -187,13 +189,14 @@ def folding_loss(batch: Dict, folding: Dict, cfg: Any,
         pair_weight=pair_weight)
 
     viol = violation_loss(batch, folding, cfg)
-    # FAPE/violation terms are batch-mean scalars; the t-gate is applied as
-    # the batch fraction below t_filter (exact for homogeneous-t batches,
-    # which is how the trainer samples t).
-    loss = jnp.mean(gate) * (
-        bb_loss + iface_loss
-        + cfg.structural_violation_loss_weight * viol['loss'])
-    return {'loss': loss, 'bb_fape': bb_loss, 'interface_fape': iface_loss,
+    # FAPE terms are per-example (B,); gate each example by its own t.
+    # The violation term is a batch scalar (cross-residue pair sums), gated
+    # by the in-gate batch fraction.
+    loss = (jnp.mean(gate * (bb_loss + iface_loss))
+            + jnp.mean(gate) * cfg.structural_violation_loss_weight
+            * viol['loss'])
+    return {'loss': loss, 'bb_fape': jnp.mean(bb_loss),
+            'interface_fape': jnp.mean(iface_loss),
             'violation': viol['loss']}
 
 

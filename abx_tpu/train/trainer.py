@@ -21,6 +21,7 @@ import optax
 from abx_tpu.data.features import (FeatureBuilder,
                                    make_diffuser_features,
                                    make_static_pair_features)
+from abx_tpu.models.network import forward_with_recycling, zero_prev
 from abx_tpu.parallel import mesh as mesh_lib
 from abx_tpu.train.losses import total_loss
 from abx_tpu.utils import checkpoint as ckpt_lib
@@ -72,16 +73,30 @@ class Trainer:
         diffuser = self.diffuser
         antibody_len = model.antibody_len
 
+        model_config = self.model_config
+
         def loss_fn(params, batch, key):
-            k_noise, k_drop = jax.random.split(key)
+            k_noise, k_drop, k_rec = jax.random.split(key, 3)
             batch = self.feature_builder(batch)
             batch = make_diffuser_features(
                 batch, diffuser=diffuser, generate_area=cfg.generate_area,
                 key=k_noise, mode='train', is_training=True)
             batch = make_static_pair_features(batch)
-            outputs = model.apply(params, batch, compute_loss=True,
-                                  deterministic=False,
-                                  rngs={'dropout': k_drop})
+            b, l = batch['seq'].shape
+            batch.update(zero_prev(b, l, model_config))
+
+            def single(mb, compute_loss):
+                return model.apply(params, mb, compute_loss=compute_loss,
+                                   deterministic=False,
+                                   rngs={'dropout': k_drop}, num_recycle=0)
+
+            # Random recycle depth per step (reference abx.py:87-91).
+            n_rec = jax.random.randint(k_rec, (), 0,
+                                       model_config.num_recycle + 1)
+            outputs = forward_with_recycling(
+                single, batch, n_rec,
+                model_config.embeddings_and_seqformer.prev_pos,
+                compute_loss=True)
             out = total_loss(batch, outputs, self.loss_config, antibody_len)
             return out['loss'], out['metrics']
 
