@@ -160,3 +160,66 @@ class TestIntegration:
         assert not np.allclose(
             np.asarray(out['heads']['sequence_module']['logits']),
             np.asarray(out2['heads']['sequence_module']['logits']))
+
+
+class TestSamplerWithESM:
+    def test_esm_conditioned_sampling(self):
+        """Tiny ESM threaded through the full scanned sampler."""
+        from abx_tpu.config import tiny_model_config
+        from abx_tpu.data.features import (FeatureBuilder,
+                                           make_diffuser_features)
+        from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+        from abx_tpu.models.network import ScoreNetwork
+        from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+        diffuser = JointDiffuser(
+            JointConfig.from_dict(cfg.diffuser.to_dict()))
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        l = l_ab + l_ag
+        rng = np.random.RandomState(1)
+        anchor = np.zeros((1, l_ab), np.int32)
+        anchor[:, 10] = 5
+        anchor[:, 20] = 5
+        feats = {
+            'seq': rng.randint(0, 20, (1, l)).astype(np.int32),
+            'mask': np.ones((1, l), np.float32),
+            'atom14_gt_positions': (5.0 * rng.randn(1, l, 14, 3)).astype(
+                np.float32),
+            'atom14_gt_exists': np.ones((1, l, 14), np.float32),
+            'cdr_def': np.zeros((1, l), np.int32),
+            'chain_id': np.zeros((1, l), np.int32),
+            'residx': np.tile(np.arange(l, dtype=np.int32), (1, 1)),
+            'anchor_flag': anchor,
+            'heavy_len': np.asarray([30], np.int32),
+            'light_len': np.asarray([15], np.int32),
+        }
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        tok = build_esm_tokens(jnp.asarray(feats['seq'][:, :l_ab]),
+                               jnp.asarray(feats['heavy_len']),
+                               jnp.asarray(feats['light_len']))
+        esm_params = esm_model.init(jax.random.PRNGKey(1), tok)
+
+        def esm_fn(ab_aatype, heavy_len, light_len):
+            tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
+            reprs = esm_model.apply(esm_params, tokens)
+            return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
+
+        model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
+        init_batch = FeatureBuilder()(
+            {k: jnp.asarray(v) for k, v in feats.items()})
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(jax.random.PRNGKey(0), init_batch, esm_fn=esm_fn)
+
+        sampler = Sampler(model, diffuser, cfg.model,
+                          SamplerConfig(num_t=2, mode='design'),
+                          esm_fn=esm_fn)
+        out = sampler.sample(params, feats, jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(out['atom14'])))
