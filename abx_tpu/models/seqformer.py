@@ -61,7 +61,7 @@ class GatedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_data, k_data=None, bias=None, k_mask=None,
-                 fused: bool = False):
+                 fused: bool = False, bias_llh=None):
         h = self.num_head
         key_dim = self.key_dim // h
         value_dim = self.value_dim // h
@@ -74,29 +74,40 @@ class GatedAttention(nn.Module):
                        dtype=self.dtype, name='proj_k')(k_data)
             v = Linear(self.value_dim, init='attn', use_bias=False,
                        dtype=self.dtype, name='proj_v')(k_data)
+
         def heads(t, d):
             return t.reshape(t.shape[:-1] + (h, d)).swapaxes(-2, -3)
 
-        if not self.split_first:
-            assert k_data is None
-            # Fused projection with PER-HEAD [q‖k‖v] column layout, matching
-            # the reference (seqformer.py:280-281: reshape to heads first,
-            # then chunk) — keeps checkpoint conversion a pure transpose.
-            qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
-                         dtype=self.dtype, name='proj_in')(q_data)
-            qkv = heads(qkv, 3 * key_dim)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q, k, v = heads(q, key_dim), heads(k, key_dim), heads(v, value_dim)
-
-        if fused and bias is not None and k_mask is not None:
-            # Fused VMEM-resident attention (abx_tpu/ops/tri_attention.py):
-            # avoids materialising the (B, S, H, Q, K) logits tensor in HBM —
-            # the hottest op of the whole trunk per on-chip profiling.
+        if fused and self.split_first and bias_llh is not None \
+                and k_mask is not None:
+            # Fused VMEM-resident attention (ops/tri_attention.py): the
+            # logits tensor never touches HBM — the hottest op of the whole
+            # trunk per on-chip profiling.  (A fully layout-native variant
+            # that also avoids the head-split transposes hits Mosaic block
+            # constraints at D=48; see ROADMAP.)
             from abx_tpu.ops.tri_attention import triangle_attention_fused
             out = triangle_attention_fused(
-                q, k, v, bias, k_mask[:, 0]).astype(self.dtype)
+                heads(q, key_dim), heads(k, key_dim), heads(v, value_dim),
+                jnp.moveaxis(bias_llh, -1, -3), k_mask[:, 0]).astype(
+                self.dtype)
+            out = out.swapaxes(-2, -3).reshape(
+                out.shape[:-3] + (q_data.shape[-2], self.value_dim))
         else:
+            if not self.split_first:
+                assert k_data is None
+                # Fused projection with PER-HEAD [q‖k‖v] column layout,
+                # matching the reference (seqformer.py:280-281: reshape to
+                # heads first, then chunk) — keeps checkpoint conversion a
+                # pure transpose.
+                qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
+                             dtype=self.dtype, name='proj_in')(q_data)
+                qkv = heads(qkv, 3 * key_dim)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q, k, v = (heads(q, key_dim), heads(k, key_dim),
+                           heads(v, value_dim))
+            if bias is None and bias_llh is not None:
+                bias = jnp.moveaxis(bias_llh, -1, -3)
             q = q * (key_dim ** -0.5)
             logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)
             if bias is not None:
@@ -110,8 +121,8 @@ class GatedAttention(nn.Module):
             weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
                 self.dtype)
             out = jnp.einsum('...hqk,...hkd->...hqd', weights, v)
-        out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q_data.shape[-2],
-                                                             self.value_dim))
+            out = out.swapaxes(-2, -3).reshape(
+                out.shape[:-3] + (q_data.shape[-2], self.value_dim))
         if self.gating:
             gate = nn.sigmoid(Linear(self.value_dim, init='gate',
                                      dtype=self.dtype, name='gate')(q_data))
@@ -232,9 +243,8 @@ class TriangleAttention(nn.Module):
         if c.orientation == 'per_column':
             pair_act = jnp.swapaxes(pair_act, 1, 2)
         pair_act = LayerNorm(dtype=self.dtype, name='norm')(pair_act)
-        bias = Linear(c.num_head, init='linear', use_bias=False,
-                      dtype=self.dtype, name='proj_pair')(pair_act)
-        bias = jnp.moveaxis(bias, -1, -3)
+        bias_llh = Linear(c.num_head, init='linear', use_bias=False,
+                          dtype=self.dtype, name='proj_pair')(pair_act)
         # Fused kernel only on TPU inference (no custom VJP; einsum path
         # remains the differentiable/CPU fallback).
         fused = (deterministic and use_fused_tri_attention()
@@ -243,8 +253,8 @@ class TriangleAttention(nn.Module):
             key_dim=pair_act.shape[-1], value_dim=pair_act.shape[-1],
             output_dim=pair_act.shape[-1], num_head=c.num_head,
             gating=c.gating, dtype=self.dtype, name='attn')(
-            pair_act, k_data=pair_act, bias=bias, k_mask=seq_mask[:, None],
-            fused=fused)
+            pair_act, k_data=pair_act, bias_llh=bias_llh,
+            k_mask=seq_mask[:, None], fused=fused)
         if c.orientation == 'per_column':
             out = jnp.swapaxes(out, 1, 2)
         return out

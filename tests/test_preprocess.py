@@ -214,3 +214,12 @@ class TestNativeAlign:
             finally:
                 native.nw_align = orig
             assert c_pairs == py_pairs
+
+
+def test_config_json_round_trip():
+    from abx_tpu.config import load_config, model_config
+    cfg = load_config('config/config_model.json')
+    ref = model_config()
+    assert cfg.model.embeddings_and_seqformer.seq_channel == \
+        ref.model.embeddings_and_seqformer.seq_channel
+    assert cfg.diffuser.inference_step == 100
