@@ -38,6 +38,7 @@ class TrainConfig:
     generate_area: str = 'cdr'
     log_every: int = 50
     checkpoint_every: int = 1000
+    ema_decay: float = 0.999  # 0 disables EMA
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -63,9 +64,12 @@ class Trainer:
         self._step_fn = jax.jit(self._build_step())
 
     def init_state(self, params) -> Dict:
-        return {'params': params,
-                'opt_state': self.optimizer.init(params),
-                'step': jnp.asarray(0)}
+        state = {'params': params,
+                 'opt_state': self.optimizer.init(params),
+                 'step': jnp.asarray(0)}
+        if self.config.ema_decay > 0:
+            state['ema_params'] = jax.tree.map(jnp.asarray, params)
+        return state
 
     def _build_step(self):
         cfg = self.config
@@ -108,6 +112,11 @@ class Trainer:
             params = optax.apply_updates(state['params'], updates)
             new_state = {'params': params, 'opt_state': opt_state,
                          'step': state['step'] + 1}
+            if 'ema_params' in state:
+                d = cfg.ema_decay
+                new_state['ema_params'] = jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state['ema_params'], params)
             metrics['grad_norm'] = optax.global_norm(grads)
             return new_state, metrics
 
@@ -133,7 +142,13 @@ class Trainer:
                             i + 1, metrics['total'],
                             metrics.get('seq/aar', -1), rate)
             if checkpoint_path and (i + 1) % cfg.checkpoint_every == 0:
-                ckpt_lib.save_params(checkpoint_path, state['params'])
+                ckpt_lib.save_params(
+                    checkpoint_path, state.get('ema_params',
+                                               state['params']))
         if checkpoint_path:
-            ckpt_lib.save_params(checkpoint_path, state['params'])
+            # EMA weights are the inference checkpoint (diffusion standard);
+            # raw params saved alongside for resuming training.
+            ckpt_lib.save_params(
+                checkpoint_path, state.get('ema_params', state['params']))
+            ckpt_lib.save_params(checkpoint_path + '.raw', state['params'])
         return state

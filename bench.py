@@ -35,7 +35,7 @@ A100_REFERENCE_SAMPLES_PER_HR = 257.0
 def main():
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
-    bf16 = os.environ.get('BENCH_BF16', '0') == '1'
+    bf16 = os.environ.get('BENCH_BF16', '1') == '1'
 
     from abx_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -84,7 +84,8 @@ def main():
     result = {
         'metric': 'design_samples_per_hour_per_chip',
         'value': round(samples_per_hr, 2),
-        'unit': 'samples/hr (100-step H3 design, L=288, no-ESM trunk)',
+        'unit': (f'samples/hr ({num_t}-step H3 design, L=288, '
+                 f'{"bf16" if bf16 else "f32"} no-ESM trunk)'),
         'vs_baseline': round(samples_per_hr / A100_REFERENCE_SAMPLES_PER_HR,
                              3),
         'detail': {
