@@ -79,6 +79,8 @@ def main():
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--num_steps', type=int, default=10000)
     p.add_argument('--learning_rate', type=float, default=1e-4)
+    p.add_argument('--ema_decay', type=float, default=0.999,
+                   help='EMA decay for the inference checkpoint (0 disables)')
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--tiny', action='store_true')
@@ -104,7 +106,8 @@ def main():
     trainer = Trainer(
         rt.model, rt.diffuser, rt.config.model, rt.config.loss,
         TrainConfig(learning_rate=args.learning_rate,
-                    generate_area=args.generate_area))
+                    generate_area=args.generate_area,
+                    ema_decay=args.ema_decay))
     state = trainer.init_state(rt.params)
     data_iter = batch_iterator(args.data_dir, names, rt.data_config,
                                args.batch_size, args.is_cluster_idx,

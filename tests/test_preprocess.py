@@ -223,3 +223,48 @@ def test_config_json_round_trip():
     assert cfg.model.embeddings_and_seqformer.seq_channel == \
         ref.model.embeddings_and_seqformer.seq_channel
     assert cfg.diffuser.inference_step == 100
+
+
+def test_mmcif_seqres_missing_residues(tmp_path):
+    """SEQRES-aware parsing: missing residues appear with zero coord mask."""
+    chains = parse_pdb(PDB)
+    h = chains['H']
+    n = 12
+    lines = [
+        'data_test', 'loop_',
+        '_pdbx_poly_seq_scheme.asym_id', '_pdbx_poly_seq_scheme.mon_id',
+        '_pdbx_poly_seq_scheme.pdb_seq_num',
+        '_pdbx_poly_seq_scheme.pdb_ins_code',
+        '_pdbx_poly_seq_scheme.pdb_strand_id',
+    ]
+    for i in range(n):
+        lines.append(f'A {rc.restype_1to3[h.str_seq[i]]} {h.resseq[i]} . H')
+    lines += [
+        '#', 'loop_',
+        '_atom_site.group_PDB', '_atom_site.id', '_atom_site.label_atom_id',
+        '_atom_site.label_alt_id', '_atom_site.label_comp_id',
+        '_atom_site.auth_asym_id', '_atom_site.auth_seq_id',
+        '_atom_site.pdbx_PDB_ins_code', '_atom_site.Cartn_x',
+        '_atom_site.Cartn_y', '_atom_site.Cartn_z',
+        '_atom_site.pdbx_PDB_model_num',
+    ]
+    serial = 1
+    # Only write coordinates for residues 0..7: 8..11 are "missing".
+    for i in range(8):
+        resname = rc.restype_1to3[h.str_seq[i]]
+        names14 = rc.restype_name_to_atom14_names[resname]
+        for j, atom in enumerate(names14):
+            if not atom or not h.coord_mask[i, j]:
+                continue
+            x, y, z = h.coords[i, j]
+            lines.append(
+                f'ATOM {serial} {atom} . {resname} H {h.resseq[i]} ? '
+                f'{x:.3f} {y:.3f} {z:.3f} 1')
+            serial += 1
+    cif = tmp_path / 'gap.cif'
+    cif.write_text('\n'.join(lines) + '\n')
+    parsed = parse_mmcif(str(cif))
+    ch = parsed['H']
+    assert ch.str_seq == h.str_seq[:n]           # full SEQRES length
+    assert ch.coord_mask[:8].any(axis=-1).all()  # observed residues
+    assert not ch.coord_mask[8:].any()           # missing residues masked
