@@ -118,7 +118,7 @@ class Sampler:
                                           prev_pos_cfg)
 
         def run(params, feats, key):
-            k_init, k_prime, k_scan = jax.random.split(key, 3)
+            k_init, k_scan = jax.random.split(key)
             batch = self.prepare(k_init, feats)
             b, l = batch['seq'].shape
 
