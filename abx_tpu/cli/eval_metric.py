@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import functools
 import glob
 import logging
 import multiprocessing as mp
@@ -64,6 +65,24 @@ def eval_one(pred_file: str, ref: Dict) -> Optional[Dict]:
     return metrics
 
 
+def eval_with_energy(pred_file: str, ref: Dict,
+                     energy: bool = False) -> Optional[Dict]:
+    m = eval_one(pred_file, ref)
+    if m is not None and energy:
+        from abx_tpu.evaluation.relax import interface_energy
+        name = os.path.splitext(os.path.basename(pred_file))[0]
+        parts = name.split('_')
+        ab = parts[1:3] if len(parts) >= 3 else ['H', 'L']
+        ag = parts[3].split('|') if len(parts) > 3 else []
+        try:
+            e, backend = interface_energy(pred_file, ab, ag)
+            m['interface_energy'] = e
+            m['energy_backend'] = backend
+        except Exception as exc:
+            logger.warning('energy failed for %s: %s', pred_file, exc)
+    return m
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--data_dir', type=str, required=True)
@@ -98,27 +117,14 @@ def main():
         if name in refs:
             jobs.append((f, refs[name]))
 
-    def eval_with_energy(pred_file, ref):
-        m = eval_one(pred_file, ref)
-        if m is not None and args.energy:
-            from abx_tpu.evaluation.relax import interface_energy
-            name = os.path.splitext(os.path.basename(pred_file))[0]
-            parts = name.split('_')
-            ab = parts[1:3] if len(parts) >= 3 else ['H', 'L']
-            ag = parts[3].split('|') if len(parts) > 3 else []
-            try:
-                e, backend = interface_energy(pred_file, ab, ag)
-                m['interface_energy'] = e
-                m['energy_backend'] = backend
-            except Exception as exc:
-                logger.warning('energy failed for %s: %s', pred_file, exc)
-        return m
-
-    if args.cpus > 1 and not args.energy:
+    worker = functools.partial(eval_with_energy, energy=args.energy)
+    if args.cpus > 1:
+        # eval_with_energy is module-level so the pool can pickle it
+        # (--energy and --cpus compose).
         with mp.Pool(args.cpus) as pool:
-            results = pool.starmap(eval_one, jobs)
+            results = pool.starmap(worker, jobs)
     else:
-        results = [eval_with_energy(*j) for j in jobs]
+        results = [worker(*j) for j in jobs]
     results = [r for r in results if r]
 
     if not results:

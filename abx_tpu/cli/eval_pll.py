@@ -26,6 +26,8 @@ def main():
     p.add_argument('--esm_checkpoint', type=str, required=True)
     p.add_argument('--num_layers', type=int, default=36)
     p.add_argument('--embed_dim', type=int, default=2560)
+    p.add_argument('--num_heads', type=int, default=None,
+                   help='override the released-size head-count table')
     p.add_argument('--output_csv', type=str, default=None)
     p.add_argument('--platform', type=str, default=None)
     args = p.parse_args()
@@ -36,11 +38,12 @@ def main():
 
     import jax
     from abx_tpu.evaluation.pll import masked_pll
-    from abx_tpu.models.esm import ESM2, ESM2Config, ESM2LMHead
+    from abx_tpu.models.esm import ESM2, ESM2Config, ESM2LMHead, esm2_num_heads
     from abx_tpu.utils.torch_convert import convert_esm2_ckpt
 
     cfg = ESM2Config(num_layers=args.num_layers, embed_dim=args.embed_dim,
-                     attention_heads=max(4, args.embed_dim // 64))
+                     attention_heads=esm2_num_heads(args.embed_dim,
+                                                    override=args.num_heads))
     params = convert_esm2_ckpt(args.esm_checkpoint, cfg.num_layers)
     if 'lm_head' not in params['params']:
         raise SystemExit('checkpoint has no lm_head weights; PLL needs the '

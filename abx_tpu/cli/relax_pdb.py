@@ -116,11 +116,16 @@ def main():
         os.path.join(args.data_dir, '**', '*.pdb'), recursive=True)
         if 'reference' not in f and '_relaxed' not in f]
     out_dir = args.output_dir or args.data_dir
-    os.makedirs(out_dir, exist_ok=True)
     ok = 0
     for f in files:
-        name = os.path.splitext(os.path.basename(f))[0]
-        out = os.path.join(out_dir, f'{name}_relaxed.pdb')
+        # Mirror the sample-subdirectory layout (out/0000/name.pdb, ...) so
+        # same-named samples from different subdirs don't overwrite each
+        # other in a flat output directory.
+        rel = os.path.relpath(f, args.data_dir)
+        name = os.path.splitext(os.path.basename(rel))[0]
+        sub = os.path.join(out_dir, os.path.dirname(rel))
+        os.makedirs(sub, exist_ok=True)
+        out = os.path.join(sub, f'{name}_relaxed.pdb')
         if relax_one(f, out):
             ok += 1
     logger.info('relaxed %d/%d', ok, len(files))

@@ -12,6 +12,7 @@ mesh; multi-host runs shard the complex list by `jax.process_index()`.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import json
 import logging
 import zlib
@@ -99,13 +100,15 @@ def _build_esm_fn(esm_checkpoint: str, cfg, bf16: bool):
     """Load + convert an ESM2 checkpoint and wrap it for the network."""
     import jax.numpy as jnp
     from abx_tpu.models.esm import (ESM2, ESM2Config, build_esm_tokens,
-                                    extract_antibody_reprs)
+                                    esm2_num_heads, extract_antibody_reprs)
     from abx_tpu.utils import checkpoint as ckpt_lib
     es_cfg_conf = cfg.model.embeddings_and_seqformer.esm
-    esm_cfg = ESM2Config(num_layers=es_cfg_conf.num_layers,
-                         embed_dim=es_cfg_conf.embed_channel,
-                         attention_heads=max(4, es_cfg_conf.embed_channel
-                                             // 64))
+    esm_cfg = ESM2Config(
+        num_layers=es_cfg_conf.num_layers,
+        embed_dim=es_cfg_conf.embed_channel,
+        attention_heads=esm2_num_heads(
+            es_cfg_conf.embed_channel,
+            override=es_cfg_conf.get('num_heads', None)))
     if esm_checkpoint.endswith(('.pt', '.pth', '.ckpt')):
         from abx_tpu.utils.torch_convert import convert_esm2_ckpt
         esm_params = convert_esm2_ckpt(esm_checkpoint, esm_cfg.num_layers)
@@ -233,9 +236,15 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                 # last complete chunk boundary and must use the same
                 # batch_samples as the original run (failure-recovery
                 # story, SURVEY.md §5).
-                while sample_idx < num_samples and os.path.exists(
-                        os.path.join(sub_dir, f'{sample_idx:04d}',
-                                     f'{name}.pdb')):
+                def _done(i):
+                    d = os.path.join(sub_dir, f'{i:04d}')
+                    # design/optimize write <name>.pdb; trajectory writes
+                    # one <name>@<t>.pdb per timestep.
+                    return (os.path.exists(os.path.join(d, f'{name}.pdb'))
+                            or bool(glob.glob(
+                                os.path.join(d, f'{name}@*.pdb'))))
+
+                while sample_idx < num_samples and _done(sample_idx):
                     sample_idx += 1
                 sample_idx = (sample_idx // batch_samples) * batch_samples
                 remaining = num_samples - sample_idx

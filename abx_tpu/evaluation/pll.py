@@ -46,8 +46,10 @@ def masked_pll(esm_model: ESM2, esm_params, lm_head_fn, seq: str,
         idx = np.arange(start, min(start + batch_positions, n))
         batch = np.tile(tokens[None], (len(idx), 1))
         batch[np.arange(len(idx)), idx + 1] = ESM_MASK
-        reprs = esm_model.apply(esm_params, jnp.asarray(batch))
-        final = reprs[..., -1]  # (B, L, D) last layer (post-LN)
+        # final_only: skip materialising the (B, L, D, n_layers+1) stack —
+        # only the post-LN last layer feeds the LM head.
+        final = esm_model.apply(esm_params, jnp.asarray(batch),
+                                final_only=True)  # (B, L, D)
         logits = lm_head_fn(final)
         logp = jax.nn.log_softmax(logits, axis=-1)
         true_tok = tokens[idx + 1]

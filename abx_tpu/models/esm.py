@@ -67,6 +67,21 @@ class ESM2Config:
         return ESM2Config(2, 64, 4)
 
 
+# fair-esm ESM2 release head counts by embed_dim: every size uses 20 heads
+# except 3B/15B (40).  `embed_dim // 64` would miscount t30_150M (640->20),
+# t12_35M (480->20) and t6_8M (320->20).
+_ESM2_HEADS_BY_DIM = {5120: 40, 2560: 40, 1280: 20, 640: 20, 480: 20,
+                      320: 20}
+
+
+def esm2_num_heads(embed_dim: int, override: Optional[int] = None) -> int:
+    """Attention head count for a released ESM2 size (or explicit override)."""
+    if override:
+        return int(override)
+    return _ESM2_HEADS_BY_DIM.get(int(embed_dim),
+                                  max(1, int(embed_dim) // 64))
+
+
 def _rotary_sincos(seq_len: int, dim: int, dtype=jnp.float32):
     """ESM-style rotary tables: freqs duplicated (not interleaved)."""
     inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
@@ -147,8 +162,15 @@ class ESM2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens):
-        """tokens (B, L) int -> (B, L, D, num_layers+1) representations."""
+    def __call__(self, tokens, final_only: bool = False):
+        """tokens (B, L) int -> (B, L, D, num_layers+1) representations.
+
+        With `final_only=True` only the post-LN last-layer representation
+        (B, L, D) is returned — the intermediate stack (n_layers+1 copies,
+        ~1.5 GB for 3B-sized models) is never materialised.  Use for LM-head
+        consumers (PLL scoring); the trunk's weighted-layer embedding needs
+        the full stack.
+        """
         c = self.config
         padding_mask = (tokens == ESM_PAD)
 
@@ -167,16 +189,20 @@ class ESM2(nn.Module):
                      / (1 - mask_ratio_obs))[:, None, None].astype(x.dtype)
         x = jnp.where(padding_mask[..., None], 0.0, x)
 
-        reprs = [x]
+        reprs = None if final_only else [x]
         for i in range(c.num_layers):
             x = ESMLayer(c, dtype=self.dtype, name=f'layer_{i}')(
                 x, padding_mask)
-            reprs.append(x)
+            if reprs is not None:
+                reprs.append(x)
         # Final LN is applied to the LAST layer's representation only
         # (fair-esm: hidden_representations[num_layers] = x after LN).
-        reprs[-1] = nn.LayerNorm(
-            dtype=jnp.float32, name='emb_layer_norm_after')(
-            reprs[-1]).astype(self.dtype)
+        final = nn.LayerNorm(
+            dtype=jnp.float32, name='emb_layer_norm_after')(x).astype(
+            self.dtype)
+        if final_only:
+            return final  # (B, L, D)
+        reprs[-1] = final
         return jnp.stack(reprs, axis=-1)  # (B, L, D, n_layers+1)
 
 

@@ -112,8 +112,12 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
     (loop body + final pass) regardless of the recycle count.
 
     Args:
-        apply_single: fn(batch, compute_loss) -> outputs for ONE pass
-            (e.g. partial(model.apply, params, num_recycle=0)).
+        apply_single: fn(batch, compute_loss, pass_idx) -> outputs for ONE
+            pass (e.g. partial(model.apply, params, num_recycle=0)).
+            `pass_idx` counts recycle passes 0..num_recycle-1 and equals
+            num_recycle for the final pass — training callers fold it into
+            the dropout RNG so each pass gets independent masks; inference
+            callers may ignore it.
     """
     batch = dict(batch)
     b, l = batch['seq'].shape
@@ -128,9 +132,9 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
                   seq_t=seq_t)
         return mb
 
-    def body(_, carry):
+    def body(i, carry):
         mb = with_prev(carry)
-        out = apply_single(mb, False)
+        out = apply_single(mb, False, i)
         prev = get_prev(mb, out, prev_pos_cfg)
         seq_t = jax.lax.stop_gradient(
             out['heads']['sequence_module']['seq_0'])
@@ -146,7 +150,7 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
         # Traced count (training samples recycle depth, reference
         # abx.py:87-91); fori_loop supports dynamic trip counts.
         carry = jax.lax.fori_loop(0, num_recycle, body, carry)
-    return apply_single(with_prev(carry), compute_loss)
+    return apply_single(with_prev(carry), compute_loss, num_recycle)
 
 
 class ScoreNetwork(nn.Module):

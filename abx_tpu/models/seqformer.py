@@ -246,9 +246,11 @@ class TriangleAttention(nn.Module):
         bias_llh = Linear(c.num_head, init='linear', use_bias=False,
                           dtype=self.dtype, name='proj_pair')(pair_act)
         # Fused kernel only on TPU inference (no custom VJP; einsum path
-        # remains the differentiable/CPU fallback).
+        # remains the differentiable fallback).  Allowlist the backend: the
+        # kernel is Mosaic (pallas-TPU) code and would fail to lower on
+        # GPU/CPU backends.
         fused = (deterministic and use_fused_tri_attention()
-                 and jax.default_backend() not in ('cpu',))
+                 and jax.default_backend() == 'tpu')
         out = GatedAttention(
             key_dim=pair_act.shape[-1], value_dim=pair_act.shape[-1],
             output_dim=pair_act.shape[-1], num_head=c.num_head,

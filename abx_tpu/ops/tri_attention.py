@@ -115,70 +115,3 @@ def triangle_attention_reference(q, k, v, bias, mask):
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum('brhqk,brhkd->brhqd', probs,
                       v.astype(jnp.float32)).astype(q.dtype)
-
-
-def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, maskbias_ref, out_ref, *,
-                   scale: float):
-    # Blocks: q/k/v/out (1, RB, L, 1, D); bias (1, 1, L, L); mask (1, 1, L).
-    q = q_ref[0, :, :, 0, :].astype(jnp.float32)   # (RB, L, D)
-    k = k_ref[0, :, :, 0, :].astype(jnp.float32)
-    v = v_ref[0, :, :, 0, :].astype(jnp.float32)
-    bias = bias_ref[0, 0]                          # (L, L)
-    maskbias = maskbias_ref[0]                     # (1, L)
-    logits = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # (RB, L, L)
-    logits = logits + bias[None, :, :] + maskbias[None, :, :]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[0, :, :, 0, :] = out.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=('num_heads', 'row_block', 'interpret'))
-def triangle_attention_packed(q, k, v, bias, mask, num_heads: int,
-                              row_block: int = 8, interpret: bool = False):
-    """Fused attention over raw projection layouts.
-
-    Args:
-        q, k, v: (B, R, L, H*D) — raw projection outputs; the head split is
-            a FREE reshape to (B, R, L, H, D) (no transpose copy — profiling
-            showed the (B,R,H,L,D) transposes cost ~20% of a trunk pass).
-        bias: (B, L, L, H) — raw pair-bias projection output (one small
-            transpose to (B, H, L, L) so its block slices cleanly).
-        mask: (B, L).
-    Returns (B, R, L, H*D) in q's dtype.
-    """
-    b, r, l, hd = q.shape
-    d = hd // num_heads
-    scale = d ** -0.5
-    rpad = (-r) % row_block
-    if rpad:
-        pad = [(0, 0), (0, rpad), (0, 0), (0, 0)]
-        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    rp = q.shape[1]
-    q, k, v = (x.reshape(b, rp, l, num_heads, d) for x in (q, k, v))
-    bias_hll = jnp.moveaxis(bias.astype(jnp.float32), -1, 1)  # (B, H, L, L)
-    maskbias = ((1.0 - mask.astype(jnp.float32)) * BIG_NEG)[:, None, :]
-
-    spec = pl.BlockSpec((1, row_block, l, 1, d),
-                        lambda bb, hh, rr: (bb, rr, 0, hh, 0))
-    out = pl.pallas_call(
-        functools.partial(_packed_kernel, scale=scale),
-        grid=(b, num_heads, rp // row_block),
-        in_specs=[
-            spec, spec, spec,
-            pl.BlockSpec((1, 1, l, l), lambda bb, hh, rr: (bb, hh, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda bb, hh, rr: (bb, 0, 0)),
-        ],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, rp, l, num_heads, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias_hll, maskbias)
-    return out.reshape(b, rp, l, hd)[:, :r]

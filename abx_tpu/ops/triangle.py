@@ -75,6 +75,10 @@ def _pad_to(x, axis, mult):
 def triangle_multiply_pallas(left, right, per_row: bool = True,
                              tile: int = 128, interpret: bool = False):
     """Pallas path; left/right (B, L, L, C) -> (B, L, L, C)."""
+    if not _HAS_PLTPU:
+        raise RuntimeError(
+            'pallas TPU backend unavailable; use triangle_multiply() which '
+            'falls back to the einsum path')
     b, l, _, c = left.shape
     dtype = left.dtype
     lp = _pad_to(_pad_to(left, 1, tile), 2, tile)
@@ -123,7 +127,7 @@ def triangle_multiply_einsum(left, right, per_row: bool = True):
 def triangle_multiply(left, right, per_row: bool = True,
                       use_pallas: bool = False, interpret: bool = False):
     """Dispatch: pallas kernel on TPU when enabled, einsum otherwise."""
-    if use_pallas:
+    if use_pallas and _HAS_PLTPU:
         return triangle_multiply_pallas(left, right, per_row=per_row,
                                         interpret=interpret)
     return triangle_multiply_einsum(left, right, per_row=per_row)

@@ -111,7 +111,8 @@ class Sampler:
         num_recycle = self.model_config.num_recycle
 
         def forward(params, batch):
-            def single(mb, compute_loss):
+            def single(mb, compute_loss, pass_idx):
+                del pass_idx  # deterministic inference: no dropout RNG
                 return model.apply(params, mb, esm_fn=self.esm_fn,
                                    num_recycle=0, compute_loss=compute_loss)
             return forward_with_recycling(single, batch, num_recycle,

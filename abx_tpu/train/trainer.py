@@ -89,10 +89,13 @@ class Trainer:
             b, l = batch['seq'].shape
             batch.update(zero_prev(b, l, model_config))
 
-            def single(mb, compute_loss):
+            def single(mb, compute_loss, pass_idx):
+                # Independent dropout masks per recycle pass (a shared key
+                # would correlate masks across passes).
+                k_pass = jax.random.fold_in(k_drop, pass_idx)
                 return model.apply(params, mb, compute_loss=compute_loss,
                                    deterministic=False,
-                                   rngs={'dropout': k_drop}, num_recycle=0)
+                                   rngs={'dropout': k_pass}, num_recycle=0)
 
             # Random recycle depth per step (reference abx.py:87-91).
             n_rec = jax.random.randint(k_rec, (), 0,
@@ -142,13 +145,16 @@ class Trainer:
                             i + 1, metrics['total'],
                             metrics.get('seq/aar', -1), rate)
             if checkpoint_path and (i + 1) % cfg.checkpoint_every == 0:
-                ckpt_lib.save_params(
-                    checkpoint_path, state.get('ema_params',
-                                               state['params']))
+                self._save(checkpoint_path, state)
         if checkpoint_path:
-            # EMA weights are the inference checkpoint (diffusion standard);
-            # raw params saved alongside for resuming training.
-            ckpt_lib.save_params(
-                checkpoint_path, state.get('ema_params', state['params']))
-            ckpt_lib.save_params(checkpoint_path + '.raw', state['params'])
+            self._save(checkpoint_path, state)
         return state
+
+    @staticmethod
+    def _save(checkpoint_path: str, state) -> None:
+        # EMA weights are the inference checkpoint (diffusion standard);
+        # raw params saved alongside at EVERY checkpoint so a crash after a
+        # mid-training save still leaves resumable training weights.
+        ckpt_lib.save_params(
+            checkpoint_path, state.get('ema_params', state['params']))
+        ckpt_lib.save_params(checkpoint_path + '.raw', state['params'])

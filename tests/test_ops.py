@@ -39,26 +39,3 @@ class TestTriangleAttention:
                                                   row_block=4,
                                                   interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
-
-    def test_packed_matches_reference(self):
-        from abx_tpu.ops.tri_attention import (triangle_attention_packed,
-                                               triangle_attention_reference)
-        b, r, h, l, d = 2, 12, 3, 40, 8
-        rng = np.random.RandomState(1)
-        q = jnp.asarray(rng.randn(b, r, l, h * d), jnp.float32)
-        k = jnp.asarray(rng.randn(b, r, l, h * d), jnp.float32)
-        v = jnp.asarray(rng.randn(b, r, l, h * d), jnp.float32)
-        bias_llh = jnp.asarray(rng.randn(b, l, l, h), jnp.float32)
-        mask = jnp.ones((b, l)).at[:, -5:].set(0)
-
-        def split_heads(x):
-            return x.reshape(b, r, l, h, d).transpose(0, 1, 3, 2, 4)
-
-        want = np.asarray(triangle_attention_reference(
-            split_heads(q), split_heads(k), split_heads(v),
-            jnp.moveaxis(bias_llh, -1, 1), mask))
-        got = np.asarray(triangle_attention_packed(
-            q, k, v, bias_llh, mask, num_heads=h, row_block=4,
-            interpret=True))
-        got_split = got.reshape(b, r, l, h, d).transpose(0, 1, 3, 2, 4)
-        np.testing.assert_allclose(got_split, want, rtol=2e-4, atol=2e-4)
