@@ -79,6 +79,26 @@ class TestEncoder:
         out2 = model.apply(params, tokens2)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
 
+    def test_final_only_matches_last_layer(self, tiny_esm):
+        """final_only returns the post-LN last layer without the stack."""
+        cfg, model, params, tokens = tiny_esm
+        full = model.apply(params, tokens)
+        final = model.apply(params, tokens, final_only=True)
+        assert final.shape == (2, 16, cfg.embed_dim)
+        np.testing.assert_allclose(np.asarray(full[..., -1]),
+                                   np.asarray(final), atol=1e-6)
+
+    def test_released_size_head_table(self):
+        """Released ESM2 sizes use 20 heads except 3B/15B (40); the naive
+        embed_dim//64 miscounts the 150M/35M/8M models."""
+        from abx_tpu.models.esm import esm2_num_heads
+        assert esm2_num_heads(2560) == 40   # t36_3B
+        assert esm2_num_heads(1280) == 20   # t33_650M
+        assert esm2_num_heads(640) == 20    # t30_150M (not 10)
+        assert esm2_num_heads(480) == 20    # t12_35M (not 7)
+        assert esm2_num_heads(320) == 20    # t6_8M (not 5)
+        assert esm2_num_heads(640, override=16) == 16
+
     def test_rotary_translation_sensitivity(self, tiny_esm):
         """Rotary attention is position-aware: permuting tokens changes
         outputs beyond the permutation itself."""
