@@ -81,6 +81,7 @@ def main():
     p.add_argument('--learning_rate', type=float, default=1e-4)
     p.add_argument('--ema_decay', type=float, default=0.999,
                    help='EMA decay for the inference checkpoint (0 disables)')
+    p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--tiny', action='store_true')
@@ -107,14 +108,16 @@ def main():
         rt.model, rt.diffuser, rt.config.model, rt.config.loss,
         TrainConfig(learning_rate=args.learning_rate,
                     generate_area=args.generate_area,
-                    ema_decay=args.ema_decay))
+                    ema_decay=args.ema_decay,
+                    log_every=args.log_every))
     state = trainer.init_state(rt.params)
     data_iter = batch_iterator(args.data_dir, names, rt.data_config,
                                args.batch_size, args.is_cluster_idx,
                                args.seed)
     ckpt = os.path.join(args.output_dir, 'params.msgpack')
     trainer.fit(state, data_iter, args.num_steps,
-                jax.random.PRNGKey(args.seed), checkpoint_path=ckpt)
+                jax.random.PRNGKey(args.seed), checkpoint_path=ckpt,
+                metrics_path=os.path.join(args.output_dir, 'metrics.csv'))
 
 
 if __name__ == '__main__':

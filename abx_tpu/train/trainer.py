@@ -8,9 +8,11 @@ checkpoints via abx_tpu.utils.checkpoint.
 
 from __future__ import annotations
 
+import csv
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Any, Dict, Iterator, Optional, Tuple
 
@@ -36,7 +38,7 @@ class TrainConfig:
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
     generate_area: str = 'cdr'
-    log_every: int = 50
+    log_every: int = 50  # <=0 disables periodic logging/metrics rows
     checkpoint_every: int = 1000
     ema_decay: float = 0.999  # 0 disables EMA
 
@@ -130,22 +132,44 @@ class Trainer:
         return self._step_fn(state, batch, key)
 
     def fit(self, state, data_iter: Iterator, num_steps: int,
-            key, checkpoint_path: Optional[str] = None):
+            key, checkpoint_path: Optional[str] = None,
+            metrics_path: Optional[str] = None):
+        """Training loop; appends one CSV row per `log_every` steps to
+        `metrics_path` (resume-friendly metrics sink)."""
         cfg = self.config
         t0 = time.time()
-        for i in range(num_steps):
-            batch = next(data_iter)
-            key, sub = jax.random.split(key)
-            state, metrics = self.step(state, batch, sub)
-            if (i + 1) % cfg.log_every == 0:
-                metrics = jax.tree.map(float, metrics)
-                rate = cfg.log_every / (time.time() - t0)
-                t0 = time.time()
-                logger.info('step %d: loss=%.4f aar=%.3f (%.2f steps/s)',
-                            i + 1, metrics['total'],
-                            metrics.get('seq/aar', -1), rate)
-            if checkpoint_path and (i + 1) % cfg.checkpoint_every == 0:
-                self._save(checkpoint_path, state)
+        metrics_writer = None
+        metrics_file = None
+        try:
+            for i in range(num_steps):
+                batch = next(data_iter)
+                key, sub = jax.random.split(key)
+                state, metrics = self.step(state, batch, sub)
+                if cfg.log_every > 0 and (i + 1) % cfg.log_every == 0:
+                    metrics = jax.tree.map(float, metrics)
+                    rate = cfg.log_every / (time.time() - t0)
+                    t0 = time.time()
+                    logger.info('step %d: loss=%.4f aar=%.3f (%.2f steps/s)',
+                                i + 1, metrics['total'],
+                                metrics.get('seq/aar', -1), rate)
+                    if metrics_path:
+                        row = dict(step=i + 1, steps_per_sec=rate, **metrics)
+                        if metrics_writer is None:
+                            exists = os.path.exists(metrics_path)
+                            metrics_file = open(metrics_path, 'a',
+                                                newline='', encoding='utf-8')
+                            metrics_writer = csv.DictWriter(
+                                metrics_file, fieldnames=sorted(row))
+                            if not exists:
+                                metrics_writer.writeheader()
+                        metrics_writer.writerow(row)
+                        metrics_file.flush()
+                if (checkpoint_path and cfg.checkpoint_every > 0
+                        and (i + 1) % cfg.checkpoint_every == 0):
+                    self._save(checkpoint_path, state)
+        finally:
+            if metrics_file is not None:
+                metrics_file.close()
         if checkpoint_path:
             self._save(checkpoint_path, state)
         return state
