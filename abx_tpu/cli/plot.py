@@ -132,14 +132,26 @@ def plot_trajectory(rows, ax_grid):
     return 1
 
 
+def _series(rows, key):
+    """(step, value) pairs parsed TOGETHER per row: a row whose cell for
+    `key` is blank/unparsable is skipped for that series only, so later
+    points keep their true x positions (mixed-schema appends leave holes)."""
+    pts = []
+    for r in rows:
+        try:
+            pts.append((float(r['step']), float(r[key])))
+        except (KeyError, ValueError, TypeError):
+            continue
+    return pts
+
+
 def plot_training(rows, ax_grid):
     """Loss curves vs step from the trainer metrics sink."""
-    steps = _floats(rows, 'step')
-    if not steps:
+    if not _floats(rows, 'step'):
         raise SystemExit("csv has no 'step' column - not a trainer "
                          "metrics.csv (wrong --kind?)")
     keys = [k for k in rows[0]
-            if k not in ('step', 'steps_per_sec') and _floats(rows, k)]
+            if k not in ('step', 'steps_per_sec') and _series(rows, k)]
     main = [k for k in ('total', 'seq/aar', 'grad_norm') if k in keys]
     rest = [k for k in keys if k not in main]
     panels = [('loss curves', rest or main)]
@@ -147,7 +159,8 @@ def plot_training(rows, ax_grid):
         panels.insert(0, ('headline', main))
     for ax, (title, ks) in zip(ax_grid, panels):
         for k in ks:
-            ax.plot(steps[:len(_floats(rows, k))], _floats(rows, k),
+            pts = _series(rows, k)
+            ax.plot([s for s, _ in pts], [v for _, v in pts],
                     label=k, linewidth=1.2)
         ax.set_xlabel('step')
         ax.set_yscale('log')

@@ -46,7 +46,11 @@ class Runtime:
     model: ScoreNetwork
     params: Dict
     data_config: DataConfig
+    # Pure ESM fn (esm_params, ab_aatype, heavy_len, light_len,
+    # layer_weights) plus its params — kept separate so jit receives the
+    # weights as a runtime argument (see sampling/sampler.py).
     esm_fn: Optional[object] = None
+    esm_params: Optional[Dict] = None
 
 
 def build_runtime(model_config_path: Optional[str] = None,
@@ -54,7 +58,8 @@ def build_runtime(model_config_path: Optional[str] = None,
                   tiny: bool = False,
                   seed: int = 0,
                   bf16: bool = False,
-                  esm_checkpoint: Optional[str] = None) -> Runtime:
+                  esm_checkpoint: Optional[str] = None,
+                  esm_random: bool = False) -> Runtime:
     from abx_tpu.utils.compile_cache import enable as _enable_cache
     _enable_cache()
     if tiny:
@@ -68,7 +73,7 @@ def build_runtime(model_config_path: Optional[str] = None,
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     dcfg = DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len,
                       cfg.data.patch_radius, cfg.data.anchor_neighbors)
-    if esm_checkpoint:
+    if esm_checkpoint or esm_random:
         # Must happen BEFORE param init/conversion so the trunk's ESM
         # projection params are created and mapped.
         with cfg.unlocked():
@@ -90,17 +95,60 @@ def build_runtime(model_config_path: Optional[str] = None,
         params = _random_init(model, cfg, diffuser, seed)
         logger.warning('no checkpoint: using randomly initialised weights')
 
-    esm_fn = None
+    esm_fn, esm_params = None, None
     if esm_checkpoint:
-        esm_fn = _build_esm_fn(esm_checkpoint, cfg, bf16)
-    return Runtime(cfg, diffuser, model, params, dcfg, esm_fn)
+        esm_fn, esm_params = _build_esm_fn(esm_checkpoint, cfg, bf16)
+    elif esm_random:
+        esm_fn, esm_params = _random_esm(cfg, bf16, seed)
+        logger.warning('esm_random: ESM2 with randomly initialised weights '
+                       '(perf/memory studies only)')
+    return Runtime(cfg, diffuser, model, params, dcfg, esm_fn, esm_params)
+
+
+def _random_esm(cfg, bf16: bool, seed: int = 0):
+    """Full-shape ESM2 with random weights, initialised ON DEVICE.
+
+    Real ESM2-3B weights are absent from this environment (ROADMAP.md);
+    perf and memory at the 3B shape are weight-independent, so the bench's
+    ESM-on config uses this.  Parameters are generated leaf-by-leaf with
+    `jax.random.normal` in the compute dtype — no host-side 11 GB f32 tree.
+    """
+    from abx_tpu.models.esm import AntibodyESM, ESM2Config, esm2_num_heads
+    es = cfg.model.embeddings_and_seqformer.esm
+    esm_cfg = ESM2Config(
+        num_layers=es.num_layers, embed_dim=es.embed_channel,
+        attention_heads=esm2_num_heads(es.embed_channel,
+                                       override=es.get('num_heads', None)))
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    wrapper = AntibodyESM(esm_cfg, cfg.data.max_antibody_len,
+                          sep_pad_num=es.esm_embed.sep_pad_num,
+                          dtype=dtype, scan_layers=True)
+    tokens = jnp.zeros((1, wrapper.esm_seq_len()), jnp.int32)
+    shapes = jax.eval_shape(wrapper.module.init, jax.random.PRNGKey(0),
+                            tokens)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def make(key):
+        out = []
+        for i, leaf in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out.append(0.02 * jax.random.normal(k, leaf.shape, dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return wrapper, make(key)
 
 
 def _build_esm_fn(esm_checkpoint: str, cfg, bf16: bool):
-    """Load + convert an ESM2 checkpoint and wrap it for the network."""
+    """Load + convert an ESM2 checkpoint; return (pure_fn, params).
+
+    The returned fn has signature (esm_params, ab_aatype, heavy_len,
+    light_len, layer_weights) so params stay a jit runtime argument.
+    """
     import jax.numpy as jnp
-    from abx_tpu.models.esm import (ESM2, ESM2Config, build_esm_tokens,
-                                    esm2_num_heads, extract_antibody_reprs)
+    from abx_tpu.models.esm import (AntibodyESM, ESM2Config,
+                                    esm2_num_heads, stack_layer_params)
     from abx_tpu.utils import checkpoint as ckpt_lib
     es_cfg_conf = cfg.model.embeddings_and_seqformer.esm
     esm_cfg = ESM2Config(
@@ -115,16 +163,15 @@ def _build_esm_fn(esm_checkpoint: str, cfg, bf16: bool):
     else:
         esm_params = ckpt_lib.load_params(esm_checkpoint)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    esm_model = ESM2(esm_cfg, dtype=dtype)
-    l_ab = cfg.data.max_antibody_len
-    sep = es_cfg_conf.esm_embed.sep_pad_num
-
-    def esm_fn(ab_aatype, heavy_len, light_len):
-        tokens = build_esm_tokens(ab_aatype, heavy_len, light_len, sep)
-        reprs = esm_model.apply(esm_params, tokens)
-        return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab,
-                                      sep)
-    return esm_fn
+    # Frozen conditioning weights: store in the compute dtype (bf16 halves
+    # the 3B model's HBM residency vs f32).
+    esm_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), esm_params)
+    if 'layers' not in esm_params['params']:
+        esm_params = stack_layer_params(esm_params, esm_cfg.num_layers)
+    wrapper = AntibodyESM(esm_cfg, cfg.data.max_antibody_len,
+                          sep_pad_num=es_cfg_conf.esm_embed.sep_pad_num,
+                          dtype=dtype, scan_layers=True)
+    return wrapper, esm_params
 
 
 def _random_init(model, cfg, diffuser, seed: int):
@@ -133,7 +180,10 @@ def _random_init(model, cfg, diffuser, seed: int):
     es = cfg.model.embeddings_and_seqformer.esm
     esm_fn = None
     if es.enabled:
-        def esm_fn(ab_aatype, heavy_len, light_len):  # init-time stub
+        def esm_fn(ab_aatype, heavy_len, light_len,  # init-time stub
+                   layer_weights=None):
+            if layer_weights is not None:
+                return jnp.zeros(ab_aatype.shape + (es.embed_channel,))
             return jnp.zeros(ab_aatype.shape + (es.embed_channel,
                                                 es.num_layers + 1))
     l = l_ab + l_ag
@@ -202,7 +252,7 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
             opt_step=opt_step, generate_area=generate_area,
             collect_trajectory=(mode_name == 'trajectory'))
         return Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
-                       esm_fn=runtime.esm_fn)
+                       esm_fn=runtime.esm_fn, esm_params=runtime.esm_params)
 
     os.makedirs(output_dir, exist_ok=True)
     ref_dir = os.path.join(output_dir, 'reference')

@@ -79,8 +79,15 @@ def main():
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--num_steps', type=int, default=10000)
     p.add_argument('--learning_rate', type=float, default=1e-4)
+    p.add_argument('--decay_steps', type=int, default=0,
+                   help='cosine-decay the LR over this many steps after '
+                        'warmup (0 = warmup-then-constant)')
     p.add_argument('--ema_decay', type=float, default=0.999,
                    help='EMA decay for the inference checkpoint (0 disables)')
+    p.add_argument('--resume', action='store_true',
+                   help='restore the full training state (optimizer '
+                        'moments, step, EMA) from <output_dir>/'
+                        'params.msgpack.train if present')
     p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
@@ -107,14 +114,25 @@ def main():
     trainer = Trainer(
         rt.model, rt.diffuser, rt.config.model, rt.config.loss,
         TrainConfig(learning_rate=args.learning_rate,
+                    decay_steps=args.decay_steps,
                     generate_area=args.generate_area,
                     ema_decay=args.ema_decay,
                     log_every=args.log_every))
-    state = trainer.init_state(rt.params)
+    ckpt = os.path.join(args.output_dir, 'params.msgpack')
+    if args.resume and os.path.exists(ckpt + '.train'):
+        state = trainer.load_train_state(ckpt, rt.params)
+        logger.info('resumed full training state at step %d',
+                    int(state['step']))
+    else:
+        state = trainer.init_state(rt.params)
+        if args.init_checkpoint:
+            logger.warning(
+                'starting from params only: optimizer moments, LR-schedule '
+                'step and EMA are fresh (use --resume with a .train '
+                'checkpoint to continue training exactly)')
     data_iter = batch_iterator(args.data_dir, names, rt.data_config,
                                args.batch_size, args.is_cluster_idx,
                                args.seed)
-    ckpt = os.path.join(args.output_dir, 'params.msgpack')
     trainer.fit(state, data_iter, args.num_steps,
                 jax.random.PRNGKey(args.seed), checkpoint_path=ckpt,
                 metrics_path=os.path.join(args.output_dir, 'metrics.csv'))

@@ -18,12 +18,15 @@ from abx_tpu.evaluation.metrics import apply_kabsch, kabsch
 from abx_tpu.preprocess.numbering import annotate_domain
 
 
-def graft_fv(original: ChainData, designed: ChainData, chain_tag: str
-             ) -> Optional[np.ndarray]:
-    """Return full-chain atom14 coords with the designed Fv grafted in.
+def graft_fv_chain(original: ChainData, designed: ChainData, chain_tag: str
+                   ) -> Optional[ChainData]:
+    """Graft the designed Fv into the original chain; full ChainData out.
 
     Framework-region CAs (non-CDR positions of the variable domain) define
-    the superposition; designed coordinates replace the domain.
+    the superposition; designed coordinates, sequence and atom mask replace
+    the domain (the designed CDR sequence generally differs from the
+    original — reference traj_evaluate.py rebuilds the full antibody with
+    the designed residues before packing/scoring).
     """
     ann_orig = annotate_domain(original.str_seq, chain_tag)
     if ann_orig is None or len(designed.str_seq) != (ann_orig.end
@@ -43,6 +46,18 @@ def graft_fv(original: ChainData, designed: ChainData, chain_tag: str
     rot, trans = kabsch(des_ca[sel], orig_dom_ca[sel])
     placed = apply_kabsch(designed.coords.reshape(-1, 3), rot,
                           trans).reshape(designed.coords.shape)
-    full = original.coords.copy()
-    full[sl] = placed
-    return full
+    coords = original.coords.copy()
+    coords[sl] = placed
+    mask = original.coord_mask.copy()
+    mask[sl] = designed.coord_mask
+    str_seq = (original.str_seq[:ann_orig.start] + designed.str_seq
+               + original.str_seq[ann_orig.end:])
+    return ChainData(original.chain_id, str_seq, coords, mask,
+                     list(original.resseq), list(original.icodes))
+
+
+def graft_fv(original: ChainData, designed: ChainData, chain_tag: str
+             ) -> Optional[np.ndarray]:
+    """Full-chain atom14 coords with the designed Fv grafted in."""
+    grafted = graft_fv_chain(original, designed, chain_tag)
+    return None if grafted is None else grafted.coords

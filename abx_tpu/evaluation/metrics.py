@@ -145,6 +145,35 @@ def calc_ab_metrics(gt_coord: np.ndarray, pred_coord: np.ndarray,
     return out
 
 
+def make_coords(pdb_file: str, heavy_chain: str, light_chain: str
+                ) -> Optional[Dict]:
+    """CA coordinates + concatenated sequence + CDR labels for an antibody
+    PDB (reference metric.py:79-100): variable domains only, H then L."""
+    from abx_tpu.data.pdb_io import parse_pdb
+    from abx_tpu.preprocess.numbering import annotate_domain
+    chains = parse_pdb(pdb_file)
+    ca = rc.atom_order['CA']
+    seqs, coords, masks, cdr_defs = [], [], [], []
+    for cid, tag in ((heavy_chain, 'H'), (light_chain, 'L')):
+        if cid not in chains:
+            return None
+        data = chains[cid]
+        ann = annotate_domain(data.str_seq, tag)
+        if ann is None:
+            return None
+        sl = slice(ann.start, ann.end)
+        seqs.append(data.str_seq[sl])
+        coords.append(data.coords[sl, ca])
+        masks.append(data.coord_mask[sl, ca])
+        cdr_defs.append(ann.cdr_def)
+    return {
+        'seq': ''.join(seqs),
+        'coords': np.concatenate(coords),
+        'mask': np.concatenate(masks),
+        'cdr_def': np.concatenate(cdr_defs),
+    }
+
+
 def dihedral_angles(p0, p1, p2, p3):
     """Dihedral about p1-p2 (praxeolitic formula); inputs (..., 3)."""
     b0 = p0 - p1

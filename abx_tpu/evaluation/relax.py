@@ -210,6 +210,32 @@ def interface_energy(pdb_file: str, antibody_chains, antigen_chains
     return score, 'lj_proxy'
 
 
+def try_pyrosetta_pack(pdb_file: str, out_file: str = None
+                       ) -> 'Optional[str]':
+    """Side-chain repack of a (grafted) complex; None when PyRosetta absent.
+
+    Reference traj_evaluate.py Rosetta-packs the grafted full antibody
+    before interface scoring; grafting changes CDR residue identities, so
+    original rotamers are stale there.
+    """
+    try:
+        from pyrosetta import init, pose_from_pdb
+        from pyrosetta.rosetta.core.pack.task import TaskFactory
+        from pyrosetta.rosetta.protocols.minimization_packing import (
+            PackRotamersMover)
+    except ImportError:
+        return None
+    init('-mute all')
+    pose = pose_from_pdb(pdb_file)
+    tf = TaskFactory()
+    task = tf.create_packer_task(pose)
+    task.restrict_to_repacking()
+    PackRotamersMover(None, task).apply(pose)
+    out_file = out_file or pdb_file
+    pose.dump_pdb(out_file)
+    return out_file
+
+
 def _pyrosetta_dg(pdb_file, antibody_chains, antigen_chains):
     import pyrosetta  # noqa: F401  raises ImportError when absent
     from pyrosetta import init, pose_from_pdb

@@ -156,20 +156,53 @@ class ESMLayer(nn.Module):
         return residual + y
 
 
-class ESM2(nn.Module):
-    """ESM2 encoder returning all per-layer representations."""
+class ESMLayerStep(nn.Module):
+    """`lax.scan`-able wrapper over ESMLayer.
+
+    Carry is (x, acc): the running hidden state plus the f32 accumulator of
+    the learned layer-weighted sum — accumulating INSIDE the layer loop means
+    the (B, L, D, num_layers+1) representation stack (~0.5 GB at 3B scale,
+    B=4) is never materialised (VERDICT round-1 item 1a; the trunk's consumer
+    is seqformer.py `esm_embed_weights`).
+    """
     config: ESM2Config
     dtype: Any = jnp.float32
+    collect: bool = False
 
     @nn.compact
-    def __call__(self, tokens, final_only: bool = False):
-        """tokens (B, L) int -> (B, L, D, num_layers+1) representations.
+    def __call__(self, carry, padding_mask, w):
+        x, acc = carry
+        x = ESMLayer(self.config, dtype=self.dtype, name='layer')(
+            x, padding_mask)
+        acc = acc + w * x.astype(jnp.float32)
+        return (x, acc), (x if self.collect else None)
 
-        With `final_only=True` only the post-LN last-layer representation
-        (B, L, D) is returned — the intermediate stack (n_layers+1 copies,
-        ~1.5 GB for 3B-sized models) is never materialised.  Use for LM-head
-        consumers (PLL scoring); the trunk's weighted-layer embedding needs
-        the full stack.
+
+class ESM2(nn.Module):
+    """ESM2 encoder.
+
+    `scan_layers=True` runs the (identical) transformer layers as one
+    `nn.scan` with parameters stacked on a leading layer axis — ~36x smaller
+    HLO and compile time at 3B scale (remote TPU compiles here cost minutes;
+    see utils/compile_cache.py).  Use `stack_layer_params` to convert
+    per-layer parameter trees (converter output / unrolled init) to the
+    scanned layout.
+    """
+    config: ESM2Config
+    dtype: Any = jnp.float32
+    scan_layers: bool = False
+
+    @nn.compact
+    def __call__(self, tokens, final_only: bool = False, layer_weights=None):
+        """tokens (B, L) int -> per-layer representations.
+
+        Output depends on the mode:
+          * `layer_weights` (num_layers+1,) given — the learned-softmax
+            weighted sum over per-layer representations, computed
+            incrementally in f32: (B, L, D).  The full stack is never built.
+          * `final_only=True` — post-LN last-layer representation (B, L, D).
+          * otherwise — the full (B, L, D, num_layers+1) stack (small
+            models / parity tests only; at 3B scale this is ~0.5 GB).
         """
         c = self.config
         padding_mask = (tokens == ESM_PAD)
@@ -189,53 +222,117 @@ class ESM2(nn.Module):
                      / (1 - mask_ratio_obs))[:, None, None].astype(x.dtype)
         x = jnp.where(padding_mask[..., None], 0.0, x)
 
-        reprs = None if final_only else [x]
-        for i in range(c.num_layers):
-            x = ESMLayer(c, dtype=self.dtype, name=f'layer_{i}')(
-                x, padding_mask)
-            if reprs is not None:
-                reprs.append(x)
+        x0 = x  # embedding-layer representation (repr index 0)
+
+        weighted = layer_weights is not None
+        if weighted:
+            layer_weights = jnp.asarray(layer_weights, jnp.float32)
+            acc = layer_weights[0] * x.astype(jnp.float32)
+            ws = layer_weights[1:]
+        else:
+            acc = jnp.zeros_like(x, dtype=jnp.float32)
+            ws = jnp.zeros((c.num_layers,), jnp.float32)
+
+        collect = (not weighted) and (not final_only)
+        per_layer = None  # (num_layers, B, L, D) when collected
+        if self.scan_layers:
+            scan = nn.scan(
+                ESMLayerStep,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                in_axes=(nn.broadcast, 0),
+                length=c.num_layers)
+            (x, acc), ys = scan(c, dtype=self.dtype, collect=collect,
+                                name='layers')((x, acc), padding_mask, ws)
+            if collect:
+                per_layer = ys
+        else:
+            reprs = [] if collect else None
+            for i in range(c.num_layers):
+                x = ESMLayer(c, dtype=self.dtype, name=f'layer_{i}')(
+                    x, padding_mask)
+                if weighted:
+                    acc = acc + ws[i] * x.astype(jnp.float32)
+                if reprs is not None:
+                    reprs.append(x)
+            if collect:
+                per_layer = jnp.stack(reprs, axis=0)
+
         # Final LN is applied to the LAST layer's representation only
         # (fair-esm: hidden_representations[num_layers] = x after LN).
         final = nn.LayerNorm(
             dtype=jnp.float32, name='emb_layer_norm_after')(x).astype(
             self.dtype)
+        if weighted:
+            # acc already holds w[-1] * x_raw; swap in the post-LN final.
+            return acc + layer_weights[-1] * (final.astype(jnp.float32)
+                                              - x.astype(jnp.float32))
         if final_only:
             return final  # (B, L, D)
-        reprs[-1] = final
-        return jnp.stack(reprs, axis=-1)  # (B, L, D, n_layers+1)
+        # Full stack: [embedding, layers 1..n-1, post-LN final].
+        stack = jnp.moveaxis(per_layer, 0, -1)  # (B, L, D, num_layers)
+        return jnp.concatenate(
+            [x0[..., None], stack[..., :-1], final[..., None]], axis=-1)
 
 
 class AntibodyESM:
-    """Callable wrapper: noisy antibody aatype -> stacked ESM embeddings.
+    """Callable wrapper: noisy antibody aatype -> ESM embeddings.
 
     Integer retokenisation + static-shape [cls‖heavy‖linker‖light‖eos]
     assembly (replaces encoder.py:37-121's per-step string round trip).
+
+    Params are an explicit call argument (NOT closed over): under `jax.jit`
+    a closed-over 3B-parameter tree would be baked into the executable as
+    constants; passing it through keeps it a runtime input.
     """
 
-    def __init__(self, config: ESM2Config, params, antibody_len: int,
-                 sep_pad_num: int = 48, dtype=jnp.bfloat16):
+    def __init__(self, config: ESM2Config, antibody_len: int,
+                 sep_pad_num: int = 48, dtype=jnp.bfloat16,
+                 scan_layers: bool = True):
         self.config = config
-        self.params = params
         self.antibody_len = antibody_len
         self.sep_pad_num = sep_pad_num
-        self.module = ESM2(config, dtype=dtype)
+        self.module = ESM2(config, dtype=dtype, scan_layers=scan_layers)
 
     def esm_seq_len(self) -> int:
         return self.antibody_len + self.sep_pad_num + 2
 
-    def __call__(self, ab_aatype, heavy_len, light_len):
+    def __call__(self, params, ab_aatype, heavy_len, light_len,
+                 layer_weights=None):
         """
         Args:
+            params: ESM2 flax params (scan layout when scan_layers).
             ab_aatype: (B, L_ab) aatype ints (heavy ‖ light ‖ pad).
             heavy_len / light_len: (B,) ints.
-        Returns: (B, L_ab, D, num_layers+1).
+            layer_weights: optional (num_layers+1,) learned softmax weights.
+        Returns: (B, L_ab, D) when layer_weights given, else
+            (B, L_ab, D, num_layers+1).
         """
         tokens = build_esm_tokens(ab_aatype, heavy_len, light_len,
                                   self.sep_pad_num)
-        reprs = self.module.apply(self.params, tokens)
+        reprs = self.module.apply(params, tokens,
+                                  layer_weights=layer_weights)
         return extract_antibody_reprs(reprs, heavy_len, light_len,
                                       self.antibody_len, self.sep_pad_num)
+
+
+def stack_layer_params(params, num_layers: Optional[int] = None):
+    """Per-layer `layer_{i}` params -> `nn.scan` layout.
+
+    Converts the converter/unrolled-init tree
+    ``{'params': {'layer_0': ..., 'layer_1': ..., ...}}`` into the
+    ``{'params': {'layers': {'layer': <stacked leading axis>}}}`` layout
+    that `ESM2(scan_layers=True)` expects.  Non-layer entries pass through.
+    """
+    src = dict(params['params'])
+    if num_layers is None:
+        num_layers = sum(1 for k in src if k.startswith('layer_'))
+    layers = [src.pop(f'layer_{i}') for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    src['layers'] = {'layer': stacked}
+    out = dict(params)
+    out['params'] = src
+    return out
 
 
 def build_esm_tokens(ab_aatype, heavy_len, light_len, sep_pad_num=48):
@@ -269,16 +366,21 @@ def build_esm_tokens(ab_aatype, heavy_len, light_len, sep_pad_num=48):
 
 
 def extract_antibody_reprs(reprs, heavy_len, light_len, l_ab, sep_pad_num=48):
-    """Inverse of build_esm_tokens: gather antibody positions, drop linker."""
-    b = reprs.shape[0]
+    """Inverse of build_esm_tokens: gather antibody positions, drop linker.
+
+    Works on both the full stack (B, L_esm, D, N) and the pre-weighted
+    (B, L_esm, D) representation.
+    """
     ab_pos = jnp.arange(l_ab)[None, :]
     h = heavy_len[:, None]
     esm_pos = jnp.where(ab_pos < h, ab_pos + 1, ab_pos + 1 + sep_pad_num)
     esm_pos = jnp.clip(esm_pos, 0, reprs.shape[1] - 1)
-    out = jnp.take_along_axis(
-        reprs, esm_pos[:, :, None, None].astype(jnp.int32), axis=1)
+    trailing = reprs.ndim - 2
+    idx = esm_pos.reshape(esm_pos.shape + (1,) * trailing)
+    out = jnp.take_along_axis(reprs, idx.astype(jnp.int32), axis=1)
     # Zero padded antibody positions.
-    valid = (ab_pos < h + light_len[:, None])[..., None, None]
+    valid = (ab_pos < h + light_len[:, None])
+    valid = valid.reshape(valid.shape + (1,) * trailing)
     return jnp.where(valid, out, 0.0)
 
 

@@ -62,13 +62,14 @@ class ScoreNetworkIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, batch, esm_embedding=None, compute_loss=False,
-                 deterministic=True):
+    def __call__(self, batch, esm_embedding=None, esm_fn=None,
+                 compute_loss=False, deterministic=True):
         c = self.config
         seq_act, pair_act = EmbeddingAndSeqformer(
             c.embeddings_and_seqformer, antibody_len=self.antibody_len,
             dtype=self.dtype, name='seqformer')(
-            batch, esm_embedding=esm_embedding, deterministic=deterministic)
+            batch, esm_embedding=esm_embedding, esm_fn=esm_fn,
+            deterministic=deterministic)
         representations = {'seq': seq_act, 'pair': pair_act}
         ret = {'representations': representations, 'heads': {}}
 
@@ -99,6 +100,15 @@ class ScoreNetworkIteration(nn.Module):
             ret['heads']['distogram'] = DistogramHead(
                 c.heads.distogram, dtype=self.dtype, name='distogram')(
                 representations['pair'])
+            # Parameter-free observability heads (reference head.py:82-141):
+            # contact precision from the distogram + CA TM-score vs GT.
+            from abx_tpu.models import metric_heads
+            if 'pseudo_beta' in batch:
+                ret['heads']['metric'] = metric_heads.metric_dict_head(
+                    ret['heads']['distogram'], batch,
+                    c.heads.get('metric', None))
+            ret['heads']['tmscore'] = metric_heads.tmscore_head(folding,
+                                                                batch)
         return ret
 
 
@@ -179,14 +189,12 @@ class ScoreNetwork(nn.Module):
             c, diffuser=self.diffuser, antibody_len=self.antibody_len,
             dtype=self.dtype, name='impl')
 
-        def esm_embed():
-            if esm_fn is None:
-                return None
-            return esm_fn(batch['seq_t'][:, :self.antibody_len],
-                          batch['heavy_len'], batch['light_len'])
-
+        # esm_fn(ab_aatype, heavy_len, light_len, layer_weights) is invoked
+        # INSIDE the trunk (seqformer owns the learned layer weights), once
+        # per pass on the pass's current noisy sequence — matching the
+        # reference's per-pass ESM recomputation (abx.py:89-102).
         for _ in range(num_recycle):
-            ret = impl(batch, esm_embedding=esm_embed(), compute_loss=False,
+            ret = impl(batch, esm_fn=esm_fn, compute_loss=False,
                        deterministic=deterministic)
             prev = get_prev(batch, ret,
                             c.embeddings_and_seqformer.prev_pos)
@@ -194,5 +202,5 @@ class ScoreNetwork(nn.Module):
             batch['seq_t'] = jax.lax.stop_gradient(
                 ret['heads']['sequence_module']['seq_0'])
 
-        return impl(batch, esm_embedding=esm_embed(),
+        return impl(batch, esm_fn=esm_fn,
                     compute_loss=compute_loss, deterministic=deterministic)

@@ -358,7 +358,8 @@ class EmbeddingAndSeqformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, batch, esm_embedding=None, deterministic=True):
+    def __call__(self, batch, esm_embedding=None, esm_fn=None,
+                 deterministic=True):
         c = self.config
         num_token = rc.restype_num + 3
 
@@ -388,10 +389,20 @@ class EmbeddingAndSeqformer(nn.Module):
             layer_weights = nn.softmax(
                 self.param('esm_embed_weights', nn.initializers.zeros,
                            (c.esm.num_layers + 1,)))
-            assert esm_embedding is not None, 'esm.enabled requires embedding'
-            esm_act = jnp.einsum('blcn,n->blc',
-                                 esm_embedding.astype(jnp.float32),
-                                 layer_weights).astype(self.dtype)
+            if esm_fn is not None:
+                # Incremental weighted sum inside the ESM layer loop — the
+                # (B, L, D, num_layers+1) stack is never materialised
+                # (reference encoder.py:72-105 + seqformer.py:186 recompute
+                # ESM and reduce the full stack every trunk pass).
+                esm_act = esm_fn(
+                    seq_t[:, ab], batch['heavy_len'], batch['light_len'],
+                    layer_weights).astype(self.dtype)
+            else:
+                assert esm_embedding is not None, \
+                    'esm.enabled requires esm_fn or a precomputed embedding'
+                esm_act = jnp.einsum('blcn,n->blc',
+                                     esm_embedding.astype(jnp.float32),
+                                     layer_weights).astype(self.dtype)
             esm_act = LayerNorm(dtype=self.dtype, name='esm_norm')(esm_act)
             esm_act = MLP((c.seq_channel, c.seq_channel), ('linear', 'linear'),
                           dtype=self.dtype, name='proj_esm_embed')(esm_act)

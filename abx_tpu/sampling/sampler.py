@@ -52,12 +52,25 @@ class Sampler:
     """Builds and caches the jitted end-to-end sampling function."""
 
     def __init__(self, model, diffuser, model_config,
-                 sampler_config: SamplerConfig, esm_fn=None):
+                 sampler_config: SamplerConfig, esm_fn=None,
+                 esm_params=None):
+        """
+        Args:
+            esm_fn: optional ESM conditioning.  When `esm_params` is given,
+                the signature is (esm_params, ab_aatype, heavy_len,
+                light_len, layer_weights) and the params are threaded
+                through jit as a RUNTIME ARGUMENT — closing over a
+                3B-parameter tree would bake ~6 GB of constants into the
+                executable.  Without `esm_params` the 4-arg closure form
+                (ab_aatype, heavy_len, light_len, layer_weights) is used
+                directly (tiny test models only).
+        """
         self.model = model
         self.diffuser = diffuser
         self.model_config = model_config
         self.config = sampler_config
         self.esm_fn = esm_fn
+        self.esm_params = esm_params
         self.feature_builder = FeatureBuilder()
 
         c = sampler_config
@@ -110,15 +123,19 @@ class Sampler:
 
         num_recycle = self.model_config.num_recycle
 
-        def forward(params, batch):
+        def forward(params, esm_params, batch):
+            efn = self.esm_fn
+            if efn is not None and esm_params is not None:
+                efn = functools.partial(self.esm_fn, esm_params)
+
             def single(mb, compute_loss, pass_idx):
                 del pass_idx  # deterministic inference: no dropout RNG
-                return model.apply(params, mb, esm_fn=self.esm_fn,
+                return model.apply(params, mb, esm_fn=efn,
                                    num_recycle=0, compute_loss=compute_loss)
             return forward_with_recycling(single, batch, num_recycle,
                                           prev_pos_cfg)
 
-        def run(params, feats, key):
+        def run(params, esm_params, feats, key):
             k_init, k_scan = jax.random.split(key)
             batch = self.prepare(k_init, feats)
             b, l = batch['seq'].shape
@@ -166,7 +183,7 @@ class Sampler:
                 state, key = carry
                 key, k_rev = jax.random.split(key)
                 mb = model_batch(state, t_model)
-                out = forward(params, mb)
+                out = forward(params, esm_params, mb)
                 folding = out['heads']['folding']
                 seq_head = out['heads']['sequence_module']
 
@@ -231,4 +248,4 @@ class Sampler:
     def sample(self, params, feats: Dict[str, jnp.ndarray], key
                ) -> Dict[str, jnp.ndarray]:
         """Run the full reverse process for one (batched) feature dict."""
-        return self._run(params, feats, key)
+        return self._run(params, self.esm_params, feats, key)

@@ -364,5 +364,11 @@ def total_loss(batch: Dict, outputs: Dict, loss_config: Any,
         total += loss_config.predicted_lddt.weight * out['loss']
         metrics.update({f'plddt/{k}': v for k, v in out.items()})
 
+    # Observability-only heads (no loss contribution): TM-score + contact
+    # precision land in metrics.csv (reference head.py:82-141 semantics).
+    for head_name in ('tmscore', 'metric'):
+        for k, v in heads.get(head_name, {}).items():
+            metrics[k] = v
+
     metrics['total'] = total
     return {'loss': total, 'metrics': metrics}

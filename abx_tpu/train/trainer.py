@@ -35,6 +35,10 @@ logger = logging.getLogger(__name__)
 class TrainConfig:
     learning_rate: float = 1e-4
     warmup_steps: int = 1000
+    # >0 enables cosine decay from peak LR to min_lr_ratio*peak over
+    # `decay_steps` steps after warmup; 0 keeps warmup-then-constant.
+    decay_steps: int = 0
+    min_lr_ratio: float = 0.1
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
     generate_area: str = 'cdr'
@@ -44,7 +48,14 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig):
-    schedule = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    if cfg.decay_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps,
+            cfg.warmup_steps + cfg.decay_steps,
+            end_value=cfg.min_lr_ratio * cfg.learning_rate)
+    else:
+        schedule = optax.linear_schedule(0.0, cfg.learning_rate,
+                                         cfg.warmup_steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
@@ -140,28 +151,28 @@ class Trainer:
         t0 = time.time()
         metrics_writer = None
         metrics_file = None
+        # Global step offset: state['step'] persists through the .train
+        # checkpoint, so resumed runs continue the step axis instead of
+        # restarting at 1 (which made resumed metrics.csv zigzag).
+        start_step = int(state['step'])
         try:
             for i in range(num_steps):
                 batch = next(data_iter)
                 key, sub = jax.random.split(key)
                 state, metrics = self.step(state, batch, sub)
+                gstep = start_step + i + 1
                 if cfg.log_every > 0 and (i + 1) % cfg.log_every == 0:
                     metrics = jax.tree.map(float, metrics)
                     rate = cfg.log_every / (time.time() - t0)
                     t0 = time.time()
                     logger.info('step %d: loss=%.4f aar=%.3f (%.2f steps/s)',
-                                i + 1, metrics['total'],
+                                gstep, metrics['total'],
                                 metrics.get('seq/aar', -1), rate)
                     if metrics_path:
-                        row = dict(step=i + 1, steps_per_sec=rate, **metrics)
+                        row = dict(step=gstep, steps_per_sec=rate, **metrics)
                         if metrics_writer is None:
-                            exists = os.path.exists(metrics_path)
-                            metrics_file = open(metrics_path, 'a',
-                                                newline='', encoding='utf-8')
-                            metrics_writer = csv.DictWriter(
-                                metrics_file, fieldnames=sorted(row))
-                            if not exists:
-                                metrics_writer.writeheader()
+                            metrics_writer, metrics_file = \
+                                self._open_metrics(metrics_path, row)
                         metrics_writer.writerow(row)
                         metrics_file.flush()
                 if (checkpoint_path and cfg.checkpoint_every > 0
@@ -175,10 +186,53 @@ class Trainer:
         return state
 
     @staticmethod
-    def _save(checkpoint_path: str, state) -> None:
+    def _open_metrics(metrics_path: str, row: Dict):
+        """Open the metrics CSV for append, reusing an existing header.
+
+        When appending to a file from an earlier run, its header defines the
+        columns: extra metrics in this run are dropped, absent ones left
+        blank — values never land under the wrong column (mixed-schema
+        append hazard).
+        """
+        fieldnames = sorted(row)
+        exists = os.path.exists(metrics_path) and \
+            os.path.getsize(metrics_path) > 0
+        if exists:
+            with open(metrics_path, newline='', encoding='utf-8') as f:
+                existing = next(csv.reader(f), None)
+            if existing:
+                dropped = sorted(set(fieldnames) - set(existing))
+                if dropped:
+                    logger.warning(
+                        'metrics.csv: appending under the existing header; '
+                        'dropping columns not in it: %s', dropped)
+                fieldnames = existing
+        metrics_file = open(metrics_path, 'a', newline='', encoding='utf-8')
+        writer = csv.DictWriter(metrics_file, fieldnames=fieldnames,
+                                restval='', extrasaction='ignore')
+        if not exists:
+            writer.writeheader()
+        return writer, metrics_file
+
+    def _save(self, checkpoint_path: str, state) -> None:
         # EMA weights are the inference checkpoint (diffusion standard);
         # raw params saved alongside at EVERY checkpoint so a crash after a
         # mid-training save still leaves resumable training weights.
         ckpt_lib.save_params(
             checkpoint_path, state.get('ema_params', state['params']))
         ckpt_lib.save_params(checkpoint_path + '.raw', state['params'])
+        # Full training state (opt moments, LR-schedule step, EMA) so a
+        # resume continues AdamW/warmup/EMA exactly (not a cold restart).
+        ckpt_lib.save_params(checkpoint_path + '.train', state)
+
+    def load_train_state(self, checkpoint_path: str, params) -> Dict:
+        """Restore a full `.train` state saved by `_save`.
+
+        `params` provides the target tree structure (and dtypes) for
+        msgpack restoration.
+        """
+        target = self.init_state(params)
+        state = ckpt_lib.load_params(checkpoint_path + '.train',
+                                     target=target)
+        state['step'] = jnp.asarray(state['step'])
+        return state

@@ -30,12 +30,20 @@ sys.path.insert(0, REPO)
 # (no published number exists) and is revised when the torch reference is
 # profiled on real hardware.
 A100_REFERENCE_SAMPLES_PER_HR = 257.0
+# With ESM2-3B in the loop (the reference's actual configuration) the torch
+# estimate is the full ~40 s/sample => ~90 samples/hr.
+A100_REFERENCE_SAMPLES_PER_HR_ESM = 90.0
 
 
 def main():
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
     bf16 = os.environ.get('BENCH_BF16', '1') == '1'
+    # ESM-on config: ESM2-3B *shape* with random weights (real weights are
+    # not in this environment; throughput/memory are weight-independent).
+    # 3 ESM passes per diffusion step, matching the reference hot loop.
+    esm = (os.environ.get('BENCH_ESM', '0') == '1'
+           or '--esm' in sys.argv[1:])
 
     from abx_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -46,10 +54,12 @@ def main():
     from abx_tpu.utils import checkpoint as ckpt_lib
 
     # v2: params-tree layout version (bump on structural changes)
-    params_cache = os.path.join(REPO, '.cache', 'bench_params_v2.msgpack')
+    cache_name = 'bench_params_esm_v1.msgpack' if esm \
+        else 'bench_params_v2.msgpack'
+    params_cache = os.path.join(REPO, '.cache', cache_name)
     rt = runner.build_runtime(
         None, params_cache if os.path.exists(params_cache) else None,
-        tiny=False, seed=0, bf16=bf16)
+        tiny=False, seed=0, bf16=bf16, esm_random=esm)
     if not os.path.exists(params_cache):
         ckpt_lib.save_params(params_cache, rt.params)
 
@@ -62,7 +72,8 @@ def main():
     feats = {k: np.repeat(v[None], batch, axis=0) for k, v in feats.items()}
 
     scfg = SamplerConfig(num_t=num_t, mode='design', generate_area='H3')
-    sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg)
+    sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                      esm_fn=rt.esm_fn, esm_params=rt.esm_params)
 
     # Compile.
     t0 = time.time()
@@ -85,15 +96,18 @@ def main():
         'metric': 'design_samples_per_hour_per_chip',
         'value': round(samples_per_hr, 2),
         'unit': (f'samples/hr ({num_t}-step H3 design, L=288, '
-                 f'{"bf16" if bf16 else "f32"} no-ESM trunk)'),
-        'vs_baseline': round(samples_per_hr / A100_REFERENCE_SAMPLES_PER_HR,
-                             3),
+                 f'{"bf16" if bf16 else "f32"} '
+                 f'{"ESM2-3B-conditioned" if esm else "no-ESM"} trunk)'),
+        'vs_baseline': round(
+            samples_per_hr / (A100_REFERENCE_SAMPLES_PER_HR_ESM if esm
+                              else A100_REFERENCE_SAMPLES_PER_HR), 3),
         'detail': {
             'steps_per_sec': round(steps_per_sec, 2),
             'batch': batch,
             'num_t': num_t,
             'compile_s': round(compile_s, 1),
             'bf16': bf16,
+            'esm': esm,
             'device': str(jax.devices()[0]),
         },
     }

@@ -109,6 +109,41 @@ class TestEncoder:
         rolled_out1 = np.roll(out1, 1, axis=1)
         assert not np.allclose(out2, rolled_out1, atol=1e-4)
 
+    def test_weighted_sum_matches_stack(self, tiny_esm):
+        """The incremental layer-weighted path equals reducing the full
+        stack (the trunk's einsum) — the stack is just never built."""
+        cfg, model, params, tokens = tiny_esm
+        w = jax.nn.softmax(jnp.asarray(
+            np.random.RandomState(3).randn(cfg.num_layers + 1)))
+        full = model.apply(params, tokens)
+        expect = jnp.einsum('blcn,n->blc', full.astype(jnp.float32), w)
+        got = model.apply(params, tokens, layer_weights=w)
+        assert got.shape == (2, 16, cfg.embed_dim)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-5)
+
+    def test_scan_layers_matches_unrolled(self, tiny_esm):
+        """nn.scan over stacked layer params reproduces the unrolled
+        encoder exactly (full stack and weighted paths)."""
+        from abx_tpu.models.esm import stack_layer_params
+        cfg, model, params, tokens = tiny_esm
+        scan_model = ESM2(cfg, scan_layers=True)
+        scan_params = stack_layer_params(params, cfg.num_layers)
+        np.testing.assert_allclose(
+            np.asarray(scan_model.apply(scan_params, tokens)),
+            np.asarray(model.apply(params, tokens)), atol=2e-5)
+        w = jax.nn.softmax(jnp.arange(cfg.num_layers + 1, dtype=jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(scan_model.apply(scan_params, tokens,
+                                        layer_weights=w)),
+            np.asarray(model.apply(params, tokens, layer_weights=w)),
+            atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(scan_model.apply(scan_params, tokens,
+                                        final_only=True)),
+            np.asarray(model.apply(params, tokens, final_only=True)),
+            atol=2e-5)
+
 
 class TestIntegration:
     def test_esm_conditioned_model_forward(self):
@@ -158,9 +193,10 @@ class TestIntegration:
             batch['light_len'])
         esm_params = esm_model.init(jax.random.PRNGKey(1), dummy_tokens)
 
-        def esm_fn(ab_aatype, heavy_len, light_len):
+        def esm_fn(ab_aatype, heavy_len, light_len, layer_weights=None):
             tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
-            reprs = esm_model.apply(esm_params, tokens)
+            reprs = esm_model.apply(esm_params, tokens,
+                                    layer_weights=layer_weights)
             return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
 
         model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
@@ -171,9 +207,10 @@ class TestIntegration:
         # ESM weights participate: changing ESM params changes the output.
         esm_params2 = jax.tree.map(lambda x: x + 0.05, esm_params)
 
-        def esm_fn2(ab_aatype, heavy_len, light_len):
+        def esm_fn2(ab_aatype, heavy_len, light_len, layer_weights=None):
             tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
-            reprs = esm_model.apply(esm_params2, tokens)
+            reprs = esm_model.apply(esm_params2, tokens,
+                                    layer_weights=layer_weights)
             return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
 
         out2 = model.apply(params, batch, esm_fn=esm_fn2)
@@ -218,17 +255,18 @@ class TestSamplerWithESM:
             'heavy_len': np.asarray([30], np.int32),
             'light_len': np.asarray([15], np.int32),
         }
+        # Production shape: pure esm_fn + explicit esm_params threaded
+        # through jit as a runtime argument (scan-layers AntibodyESM).
+        from abx_tpu.models.esm import AntibodyESM, stack_layer_params
         esm_cfg = ESM2Config.tiny()
         esm_model = ESM2(esm_cfg, dtype=jnp.float32)
         tok = build_esm_tokens(jnp.asarray(feats['seq'][:, :l_ab]),
                                jnp.asarray(feats['heavy_len']),
                                jnp.asarray(feats['light_len']))
-        esm_params = esm_model.init(jax.random.PRNGKey(1), tok)
-
-        def esm_fn(ab_aatype, heavy_len, light_len):
-            tokens = build_esm_tokens(ab_aatype, heavy_len, light_len)
-            reprs = esm_model.apply(esm_params, tokens)
-            return extract_antibody_reprs(reprs, heavy_len, light_len, l_ab)
+        esm_params = stack_layer_params(
+            esm_model.init(jax.random.PRNGKey(1), tok), esm_cfg.num_layers)
+        esm_fn = AntibodyESM(esm_cfg, l_ab, dtype=jnp.float32,
+                             scan_layers=True)
 
         model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
         init_batch = FeatureBuilder()(
@@ -236,10 +274,12 @@ class TestSamplerWithESM:
         init_batch = make_diffuser_features(
             init_batch, diffuser=diffuser, generate_area='H3',
             key=jax.random.PRNGKey(0), mode='design')
-        params = model.init(jax.random.PRNGKey(0), init_batch, esm_fn=esm_fn)
+        params = model.init(
+            jax.random.PRNGKey(0), init_batch,
+            esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
 
         sampler = Sampler(model, diffuser, cfg.model,
                           SamplerConfig(num_t=2, mode='design'),
-                          esm_fn=esm_fn)
+                          esm_fn=esm_fn, esm_params=esm_params)
         out = sampler.sample(params, feats, jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(out['atom14'])))
