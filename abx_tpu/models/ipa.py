@@ -22,7 +22,8 @@ import numpy as np
 
 from abx_tpu.geometry import quat as quat_ops
 from abx_tpu.geometry.rigid import Rigid
-from abx_tpu.models.modules import LayerNorm, Linear
+from abx_tpu.models.modules import (LayerNorm, Linear, LinearParams,
+                                    fused_dense)
 from abx_tpu.models.seqformer import BIG_NEG
 
 
@@ -47,27 +48,39 @@ class InvariantPointAttention(nn.Module):
         attention_2d_weights = np.sqrt(1.0 / num_logit_terms)
 
         b, l, _ = inputs_1d.shape
+        c_in = inputs_1d.shape[-1]
 
-        q_scalar = Linear(h * nsq, init='attn', dtype=self.dtype,
-                          name='proj_q_scalar')(inputs_1d)
-        q_scalar = q_scalar.reshape(b, l, h, nsq).transpose(0, 2, 1, 3)
-        kv_scalar = Linear(h * (nsv + nsq), init='attn', dtype=self.dtype,
-                           name='proj_kv_scalar')(inputs_1d)
-        kv_scalar = kv_scalar.reshape(b, l, h, nsv + nsq).transpose(0, 2, 1, 3)
+        # The four input projections (scalar q / scalar kv / point q /
+        # point kv) read the same activations; run them as ONE matmul
+        # (param tree unchanged — see modules.fused_dense).
+        branches = [
+            LinearParams(h * nsq, c_in, init='attn',
+                         name='proj_q_scalar')(),
+            LinearParams(h * (nsv + nsq), c_in, init='attn',
+                         name='proj_kv_scalar')(),
+            LinearParams(3 * h * npq, c_in, init='attn',
+                         name='proj_q_point_local')(),
+            LinearParams(3 * h * (npv + npq), c_in, init='attn',
+                         name='proj_kv_point_local')(),
+        ]
+        q_scalar, kv_scalar, q_point_local, kv_point_local = fused_dense(
+            inputs_1d, branches, self.dtype)
+
+        # Head split without data movement: keep (b, l, h, c) layouts and
+        # let the einsums place the head axis (XLA folds the layout into
+        # the dot_generals instead of emitting copy ops).
+        q_scalar = q_scalar.reshape(b, l, h, nsq)
+        kv_scalar = kv_scalar.reshape(b, l, h, nsv + nsq)
         k_scalar, v_scalar = jnp.split(kv_scalar, [nsq], axis=-1)
 
-        attn_qk_scalar = jnp.einsum('bhic,bhjc->bhij',
+        attn_qk_scalar = jnp.einsum('bihc,bjhc->bhij',
                                     q_scalar * scalar_weights, k_scalar)
 
-        # Point branch in f32: layout (r n) -> points stored as 3 blocks.
-        q_point_local = Linear(3 * h * npq, init='attn', dtype=jnp.float32,
-                               name='proj_q_point_local')(inputs_1d)
-        q_point_local = q_point_local.reshape(b, l, 3, h * npq).transpose(
-            0, 1, 3, 2)  # (b, l, h*npq, 3)
-        kv_point_local = Linear(3 * h * (npv + npq), init='attn',
-                                dtype=jnp.float32,
-                                name='proj_kv_point_local')(inputs_1d)
-        kv_point_local = kv_point_local.reshape(
+        # Point branch: layout (r n) -> points stored as 3 blocks; the
+        # frame application and distance terms below run in f32.
+        q_point_local = q_point_local.astype(jnp.float32).reshape(
+            b, l, 3, h * npq).transpose(0, 1, 3, 2)  # (b, l, h*npq, 3)
+        kv_point_local = kv_point_local.astype(jnp.float32).reshape(
             b, l, 3, h * (npv + npq)).transpose(0, 1, 3, 2)
 
         q_point_global = rigids.apply(q_point_local)   # (b, l, h*npq, 3)
@@ -115,14 +128,12 @@ class InvariantPointAttention(nn.Module):
         attn = jax.nn.softmax(attn_logits, axis=-1)  # (b, h, i, j) f32
 
         result_scalar = jnp.einsum(
-            'bhij,bhjc->bhic', attn.astype(self.dtype), v_scalar)
-        result_scalar = result_scalar.transpose(0, 2, 1, 3).reshape(
-            b, l, h * nsv)
+            'bhij,bjhc->bihc', attn.astype(self.dtype), v_scalar)
+        result_scalar = result_scalar.reshape(b, l, h * nsv)
         outputs = [result_scalar]
 
-        result_point_global = jnp.einsum('bhij,bjhnr->bhinr', attn, v_point)
-        result_point_global = result_point_global.transpose(
-            0, 2, 1, 3, 4).reshape(b, l, h * npv, 3)
+        result_point_global = jnp.einsum('bhij,bjhnr->bihnr', attn, v_point)
+        result_point_global = result_point_global.reshape(b, l, h * npv, 3)
         result_point_local = rigids.invert().apply(result_point_global)
         # (r n) flatten: x-components of all points, then y, then z.
         outputs.append(result_point_local.transpose(0, 1, 3, 2).reshape(
@@ -131,10 +142,9 @@ class InvariantPointAttention(nn.Module):
             jnp.sum(jnp.square(result_point_local), axis=-1)
             + self.dist_epsilon).astype(self.dtype))
 
-        result_2d = jnp.einsum('bhij,bijc->bhic', attn.astype(self.dtype),
+        result_2d = jnp.einsum('bhij,bijc->bihc', attn.astype(self.dtype),
                                inputs_2d)
-        outputs.append(result_2d.transpose(0, 2, 1, 3).reshape(
-            b, l, h * inputs_2d.shape[-1]))
+        outputs.append(result_2d.reshape(b, l, h * inputs_2d.shape[-1]))
 
         final_act = jnp.concatenate(outputs, axis=-1)
         return Linear(c.num_channel, init='final', dtype=self.dtype,

@@ -58,6 +58,58 @@ class Linear(nn.Module):
         return y
 
 
+class LinearParams(nn.Module):
+    """Declares Linear-compatible params without running the matmul.
+
+    Used by `fused_dense`: several projections that read the same input are
+    declared individually (so the param tree — and therefore checkpoint
+    conversion — is identical to separate `Linear` modules) but executed as
+    ONE column-concatenated matmul.  Column concatenation is numerically
+    identical to the separate matmuls (each output column is an independent
+    dot product) while giving the MXU one large N instead of several small
+    ones — the round-1 profile attributed ~54 ms/step to small dot_generals
+    at ~5% MXU utilisation (ROADMAP.md).
+    """
+    features: int
+    in_features: int
+    init: str = 'linear'
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', af2_initializer(self.init),
+                            (self.in_features, self.features))
+        bias = None
+        if self.use_bias:
+            bias_init = (nn.initializers.ones if self.init == 'gate'
+                         else nn.initializers.zeros)
+            bias = self.param('bias', bias_init, (self.features,))
+        return kernel, bias
+
+
+def fused_dense(x, branches, dtype):
+    """One matmul over several Linear branches reading the same input.
+
+    Args:
+        x: (..., C_in) input shared by all branches.
+        branches: list of (kernel (C_in, Ni), bias (Ni,) or None).
+        dtype: compute dtype.
+    Returns:
+        list of per-branch outputs (..., Ni), equal to the separate matmuls.
+    The weight concatenation is loop-invariant under `lax.scan`/jit — XLA
+    hoists it out of the sampling loop, so steady-state cost is one dot.
+    """
+    kernel = jnp.concatenate([k.astype(dtype) for k, _ in branches], axis=-1)
+    y = jnp.dot(x.astype(dtype), kernel)
+    if any(b is not None for _, b in branches):
+        bias = jnp.concatenate(
+            [b.astype(dtype) if b is not None
+             else jnp.zeros((k.shape[-1],), dtype) for k, b in branches])
+        y = y + bias
+    sizes = np.cumsum([k.shape[-1] for k, _ in branches])[:-1].tolist()
+    return jnp.split(y, sizes, axis=-1)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm computed in f32 regardless of compute dtype.
 

@@ -61,25 +61,36 @@ class ScoreNetworkIteration(nn.Module):
     antibody_len: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, batch, esm_embedding=None, esm_fn=None,
-                 compute_loss=False, deterministic=True):
+    def setup(self):
         c = self.config
-        seq_act, pair_act = EmbeddingAndSeqformer(
+        self.seqformer = EmbeddingAndSeqformer(
             c.embeddings_and_seqformer, antibody_len=self.antibody_len,
-            dtype=self.dtype, name='seqformer')(
+            dtype=self.dtype)
+        self.diffusion_module = IpaScore(
+            c.heads.diffusion_module, diffuser=self.diffuser,
+            dtype=self.dtype)
+        self.sequence_module = SequenceHead(c.heads.sequence_module,
+                                            dtype=self.dtype)
+        self.predicted_lddt = PredictedLDDTHead(c.heads.predicted_lddt,
+                                                dtype=self.dtype)
+        self.distogram = DistogramHead(c.heads.distogram, dtype=self.dtype)
+
+    def static_embeddings(self, batch):
+        return self.seqformer.static_embeddings(batch)
+
+    def __call__(self, batch, esm_embedding=None, esm_fn=None,
+                 compute_loss=False, deterministic=True, static_acts=None):
+        c = self.config
+        seq_act, pair_act = self.seqformer(
             batch, esm_embedding=esm_embedding, esm_fn=esm_fn,
-            deterministic=deterministic)
+            deterministic=deterministic, static_acts=static_acts)
         representations = {'seq': seq_act, 'pair': pair_act}
         ret = {'representations': representations, 'heads': {}}
 
-        folding = IpaScore(c.heads.diffusion_module, diffuser=self.diffuser,
-                           dtype=self.dtype, name='diffusion_module')(
-            representations, batch, deterministic=deterministic)
+        folding = self.diffusion_module(representations, batch,
+                                        deterministic=deterministic)
 
-        seq_out = SequenceHead(c.heads.sequence_module, dtype=self.dtype,
-                               name='sequence_module')(
-            folding['structure_act'], batch)
+        seq_out = self.sequence_module(folding['structure_act'], batch)
 
         # Rebuild all atoms with the predicted sequence (head.py:171-199).
         atoms = rebuild_atoms(seq_out['seq_0'], folding['rigids'],
@@ -91,14 +102,11 @@ class ScoreNetworkIteration(nn.Module):
         ret['heads']['folding'] = folding
         ret['heads']['sequence_module'] = seq_out
 
-        plddt_out = PredictedLDDTHead(
-            c.heads.predicted_lddt, dtype=self.dtype,
-            name='predicted_lddt')(folding['structure_act'])
+        plddt_out = self.predicted_lddt(folding['structure_act'])
         ret['heads']['predicted_lddt'] = plddt_out
 
         if compute_loss:
-            ret['heads']['distogram'] = DistogramHead(
-                c.heads.distogram, dtype=self.dtype, name='distogram')(
+            ret['heads']['distogram'] = self.distogram(
                 representations['pair'])
             # Parameter-free observability heads (reference head.py:82-141):
             # contact precision from the distogram + CA TM-score vs GT.
@@ -120,6 +128,10 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
     trunk `num_recycle+1` times in the traced program, which multiplies XLA
     compile time; this functional form keeps exactly two trunk instances
     (loop body + final pass) regardless of the recycle count.
+
+    Callers that hoist the trajectory-invariant embeddings
+    (ScoreNetwork.static_embeddings) fold `static_acts` into their
+    `apply_single` closure — this function only threads the per-pass state.
 
     Args:
         apply_single: fn(batch, compute_loss, pass_idx) -> outputs for ONE
@@ -174,9 +186,19 @@ class ScoreNetwork(nn.Module):
     antibody_len: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.impl = ScoreNetworkIteration(
+            self.config, diffuser=self.diffuser,
+            antibody_len=self.antibody_len, dtype=self.dtype)
+
+    def static_embeddings(self, batch):
+        """Trajectory-invariant embedding terms; the sampler computes them
+        once per trajectory and passes them back via `static_acts`."""
+        return self.impl.static_embeddings(batch)
+
     def __call__(self, batch, esm_fn=None, compute_loss=False,
-                 deterministic=True, num_recycle: Optional[int] = None):
+                 deterministic=True, num_recycle: Optional[int] = None,
+                 static_acts=None):
         c = self.config
         if num_recycle is None:
             num_recycle = c.num_recycle
@@ -185,22 +207,30 @@ class ScoreNetwork(nn.Module):
         if 'prev_seq' not in batch:
             batch.update(zero_prev(b, l, c))
 
-        impl = ScoreNetworkIteration(
-            c, diffuser=self.diffuser, antibody_len=self.antibody_len,
-            dtype=self.dtype, name='impl')
+        # Static embeddings are shared across the recycle passes (and, when
+        # the caller hoists them, across the whole sampling trajectory).
+        # No stop_gradient here: recycle passes are already grad-isolated by
+        # the stop_gradients on prev_*/seq_t, and the final pass must
+        # backprop into the embedding params exactly as the reference's
+        # final (grad-enabled) pass does.
+        if static_acts is None:
+            static_acts = self.impl.static_embeddings(batch)
 
         # esm_fn(ab_aatype, heavy_len, light_len, layer_weights) is invoked
         # INSIDE the trunk (seqformer owns the learned layer weights), once
         # per pass on the pass's current noisy sequence — matching the
         # reference's per-pass ESM recomputation (abx.py:89-102).
         for _ in range(num_recycle):
-            ret = impl(batch, esm_fn=esm_fn, compute_loss=False,
-                       deterministic=deterministic)
+            ret = self.impl(batch, esm_fn=esm_fn, compute_loss=False,
+                            deterministic=deterministic,
+                            static_acts=static_acts)
             prev = get_prev(batch, ret,
                             c.embeddings_and_seqformer.prev_pos)
             batch.update(prev)
             batch['seq_t'] = jax.lax.stop_gradient(
                 ret['heads']['sequence_module']['seq_0'])
 
-        return impl(batch, esm_fn=esm_fn,
-                    compute_loss=compute_loss, deterministic=deterministic)
+        return self.impl(batch, esm_fn=esm_fn,
+                         compute_loss=compute_loss,
+                         deterministic=deterministic,
+                         static_acts=static_acts)

@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from abx_tpu.common import residue_constants as rc
 from abx_tpu.models.encoder import (PairEmbedding, ResidueEmbedding,
                                     TokenEmbedding)
-from abx_tpu.models.modules import (MLP, LayerNorm, Linear,
-                                    get_timestep_embedding, shared_dropout)
+from abx_tpu.models.modules import (MLP, LayerNorm, Linear, LinearParams,
+                                    fused_dense, get_timestep_embedding,
+                                    shared_dropout)
 
 BIG_NEG = -1e9
 
@@ -65,18 +66,47 @@ class GatedAttention(nn.Module):
         h = self.num_head
         key_dim = self.key_dim // h
         value_dim = self.value_dim // h
+        c_in = q_data.shape[-1]
+        gate_pre = None
 
         if self.split_first:
             assert k_data is not None
-            q = Linear(self.key_dim, init='attn', use_bias=False,
-                       dtype=self.dtype, name='proj_q')(q_data)
-            k = Linear(self.key_dim, init='attn', use_bias=False,
-                       dtype=self.dtype, name='proj_k')(k_data)
-            v = Linear(self.value_dim, init='attn', use_bias=False,
-                       dtype=self.dtype, name='proj_v')(k_data)
+            if k_data is q_data:
+                # Self-attention: q/k/v (and the gate, which also reads
+                # q_data) fuse into ONE matmul — param tree unchanged.
+                branches = [
+                    LinearParams(self.key_dim, c_in, init='attn',
+                                 use_bias=False, name='proj_q')(),
+                    LinearParams(self.key_dim, c_in, init='attn',
+                                 use_bias=False, name='proj_k')(),
+                    LinearParams(self.value_dim, c_in, init='attn',
+                                 use_bias=False, name='proj_v')(),
+                ]
+                if self.gating:
+                    branches.append(LinearParams(
+                        self.value_dim, c_in, init='gate', name='gate')())
+                    q, k, v, gate_pre = fused_dense(q_data, branches,
+                                                    self.dtype)
+                else:
+                    q, k, v = fused_dense(q_data, branches, self.dtype)
+            else:
+                q = Linear(self.key_dim, init='attn', use_bias=False,
+                           dtype=self.dtype, name='proj_q')(q_data)
+                k = Linear(self.key_dim, init='attn', use_bias=False,
+                           dtype=self.dtype, name='proj_k')(k_data)
+                v = Linear(self.value_dim, init='attn', use_bias=False,
+                           dtype=self.dtype, name='proj_v')(k_data)
 
         def heads(t, d):
+            # (..., q, h*d) -> head-major (..., h, q, d); only the fused
+            # Pallas path needs this physical layout.
             return t.reshape(t.shape[:-1] + (h, d)).swapaxes(-2, -3)
+
+        def heads_minor(t, d):
+            # (..., q, h*d) -> (..., q, h, d): a free reshape; einsums
+            # below keep this layout so XLA folds the head split into the
+            # dot_generals instead of emitting copies.
+            return t.reshape(t.shape[:-1] + (h, d))
 
         if fused and self.split_first and bias_llh is not None \
                 and k_mask is not None:
@@ -98,18 +128,25 @@ class GatedAttention(nn.Module):
                 # Fused projection with PER-HEAD [q‖k‖v] column layout,
                 # matching the reference (seqformer.py:280-281: reshape to
                 # heads first, then chunk) — keeps checkpoint conversion a
-                # pure transpose.
-                qkv = Linear(self.key_dim * 3, init='attn', use_bias=False,
-                             dtype=self.dtype, name='proj_in')(q_data)
-                qkv = heads(qkv, 3 * key_dim)
+                # pure transpose.  The gate reads the same input and joins
+                # the matmul.
+                branches = [LinearParams(self.key_dim * 3, c_in, init='attn',
+                                         use_bias=False, name='proj_in')()]
+                if self.gating:
+                    branches.append(LinearParams(
+                        self.value_dim, c_in, init='gate', name='gate')())
+                    qkv, gate_pre = fused_dense(q_data, branches, self.dtype)
+                else:
+                    (qkv,) = fused_dense(q_data, branches, self.dtype)
+                qkv = heads_minor(qkv, 3 * key_dim)
                 q, k, v = jnp.split(qkv, 3, axis=-1)
             else:
-                q, k, v = (heads(q, key_dim), heads(k, key_dim),
-                           heads(v, value_dim))
+                q, k, v = (heads_minor(q, key_dim), heads_minor(k, key_dim),
+                           heads_minor(v, value_dim))
             if bias is None and bias_llh is not None:
                 bias = jnp.moveaxis(bias_llh, -1, -3)
             q = q * (key_dim ** -0.5)
-            logits = jnp.einsum('...hqd,...hkd->...hqk', q, k)
+            logits = jnp.einsum('...qhd,...khd->...hqk', q, k)
             if bias is not None:
                 # bias: (B, H, Q, K), shared over the rows axis.
                 logits = logits + bias[:, None].astype(logits.dtype)
@@ -120,13 +157,13 @@ class GatedAttention(nn.Module):
 
             weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
                 self.dtype)
-            out = jnp.einsum('...hqk,...hkd->...hqd', weights, v)
-            out = out.swapaxes(-2, -3).reshape(
-                out.shape[:-3] + (q_data.shape[-2], self.value_dim))
+            out = jnp.einsum('...hqk,...khd->...qhd', weights, v)
+            out = out.reshape(out.shape[:-2] + (self.value_dim,))
         if self.gating:
-            gate = nn.sigmoid(Linear(self.value_dim, init='gate',
-                                     dtype=self.dtype, name='gate')(q_data))
-            out = out * gate
+            if gate_pre is None:
+                gate_pre = Linear(self.value_dim, init='gate',
+                                  dtype=self.dtype, name='gate')(q_data)
+            out = out * nn.sigmoid(gate_pre)
         return Linear(self.output_dim, init='final', dtype=self.dtype,
                       name='proj_out')(out)
 
@@ -178,10 +215,14 @@ class OuterProductMean(nn.Module):
         c = self.config
         mask_col = mask[..., None]
         act = LayerNorm(dtype=self.dtype, name='norm')(act)
-        left = mask_col * Linear(c.num_outer_channel, init='linear',
-                                 dtype=self.dtype, name='left_proj')(act)
-        right = mask_col * Linear(c.num_outer_channel, init='linear',
-                                  dtype=self.dtype, name='right_proj')(act)
+        left, right = fused_dense(act, [
+            LinearParams(c.num_outer_channel, act.shape[-1], init='linear',
+                         name='left_proj')(),
+            LinearParams(c.num_outer_channel, act.shape[-1], init='linear',
+                         name='right_proj')(),
+        ], self.dtype)
+        left = mask_col * left
+        right = mask_col * right
         prod = left[:, None, :, :] * right[:, :, None, :]
         diff = left[:, None, :, :] - right[:, :, None, :]
         out = jnp.concatenate([prod, diff], axis=-1)
@@ -200,21 +241,29 @@ class TriangleMultiplication(nn.Module):
         pair_mask = (mask[:, :, None, None] * mask[:, None, :, None]).astype(
             self.dtype)
         act = LayerNorm(dtype=self.dtype, name='norm')(act)
-        input_act = act
 
-        left = Linear(c.num_intermediate_channel, init='linear',
-                      dtype=self.dtype, name='left_proj')(act)
-        right = Linear(c.num_intermediate_channel, init='linear',
-                       dtype=self.dtype, name='right_proj')(act)
+        nc = c.num_intermediate_channel
+        c_in = act.shape[-1]
+        # left/right projections, their gates, and the final gate all read
+        # the post-LN activations: one (B, L, L, C) read feeding one matmul
+        # instead of five (the pair track is the HBM-bandwidth hot spot).
+        branches = [
+            LinearParams(nc, c_in, init='linear', name='left_proj')(),
+            LinearParams(nc, c_in, init='linear', name='right_proj')(),
+        ]
+        if c.gating:
+            branches += [
+                LinearParams(nc, c_in, init='gate', name='left_gate')(),
+                LinearParams(nc, c_in, init='gate', name='right_gate')(),
+                LinearParams(num_in, c_in, init='gate', name='final_gate')(),
+            ]
+            left, right, lg, rg, fg = fused_dense(act, branches, self.dtype)
+            left = left * nn.sigmoid(lg)
+            right = right * nn.sigmoid(rg)
+        else:
+            left, right = fused_dense(act, branches, self.dtype)
         left = left * pair_mask
         right = right * pair_mask
-        if c.gating:
-            left = left * nn.sigmoid(
-                Linear(c.num_intermediate_channel, init='gate',
-                       dtype=self.dtype, name='left_gate')(act))
-            right = right * nn.sigmoid(
-                Linear(c.num_intermediate_channel, init='gate',
-                       dtype=self.dtype, name='right_gate')(act))
 
         from abx_tpu.ops.registry import use_pallas_triangle
         from abx_tpu.ops.triangle import triangle_multiply
@@ -226,9 +275,7 @@ class TriangleMultiplication(nn.Module):
         out = Linear(num_in, init='final', dtype=self.dtype,
                      name='proj_out')(out)
         if c.gating:
-            out = out * nn.sigmoid(
-                Linear(num_in, init='gate', dtype=self.dtype,
-                       name='final_gate')(input_act))
+            out = out * nn.sigmoid(fg)
         return out
 
 
@@ -352,43 +399,109 @@ class EmbeddingAndSeqformer(nn.Module):
 
     The antibody block occupies positions [0, antibody_len) and the antigen
     block [antibody_len, L); both are statically sized (config.data).
+
+    setup()-style so `static_embeddings` can be invoked standalone: every
+    embedding term that depends only on trajectory-invariant inputs (fixed
+    coordinates/sequence, residue indices, chain ids) is computed there —
+    the sampler hoists it OUT of the 100-step scan entirely, and within one
+    forward it is shared across the recycle passes.  The reference
+    recomputes all of it 3x per diffusion step (encoder.py:123-269,
+    seqformer.py:170-226).
     """
     config: Any          # embeddings_and_seqformer config
     antibody_len: int    # static split point
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, batch, esm_embedding=None, esm_fn=None,
-                 deterministic=True):
+    def setup(self):
         c = self.config
         num_token = rc.restype_num + 3
+        self.proj_aa_type = TokenEmbedding(num_token, c.seq_channel,
+                                           padding_idx=rc.unk_restype_index,
+                                           dtype=self.dtype)
+        self.proj_rel_pos = TokenEmbedding(c.max_relative_feature * 2 + 2,
+                                           c.pair_channel, dtype=self.dtype)
+        if c.esm.enabled:
+            self.esm_embed_weights = self.param(
+                'esm_embed_weights', nn.initializers.zeros,
+                (c.esm.num_layers + 1,))
+            self.esm_norm = LayerNorm(dtype=self.dtype)
+            self.proj_esm_embed = MLP((c.seq_channel, c.seq_channel),
+                                      ('linear', 'linear'), dtype=self.dtype)
+        self.aa_proj_norm = LayerNorm(dtype=self.dtype)
+        self.aa_proj = MLP((c.seq_channel, c.seq_channel),
+                           ('linear', 'linear'), dtype=self.dtype)
+        self.encode_residue_emb = ResidueEmbedding(c.seq_channel,
+                                                   dtype=self.dtype)
+        self.encode_pair_emb = PairEmbedding(
+            c.pair_channel,
+            dgram_num_bins=c.prev_pos.num_bins,
+            dgram_min_bin=c.prev_pos.min_bin,
+            dgram_max_bin=c.prev_pos.max_bin,
+            dtype=self.dtype)
+        self.t_embedder = TimestepEmbedder(c.index_embed_size,
+                                           dtype=self.dtype)
+        if c.recycle_features:
+            self.prev_seq_norm = LayerNorm(dtype=self.dtype)
+            self.prev_pair_norm = LayerNorm(dtype=self.dtype)
+        if c.recycle_pos:
+            self.proj_prev_pos = TokenEmbedding(
+                c.prev_pos.num_bins,
+                c.pair_channel + 2 * c.index_embed_size, dtype=self.dtype)
+        self.seqformer = Seqformer(c, dtype=self.dtype)
 
-        seq_t = batch['seq_t'].astype(jnp.int32)
-        mask = batch['mask']
+    def _rel_pos_ids(self, pos):
+        c = self.config
+        offset = pos[:, None, :] - pos[:, :, None]
+        return (jnp.clip(offset + c.max_relative_feature, 0,
+                         2 * c.max_relative_feature) + 1).astype(jnp.int32)
+
+    def static_embeddings(self, batch):
+        """Trajectory-invariant embedding terms.
+
+        Depends on `seq_t` ONLY at fixed positions (ResidueEmbedding /
+        PairEmbedding mask their outputs to fixed residues/pairs, and both
+        the reverse step and the recycling seq_0 leave fixed positions
+        untouched — heads.py:62-65), so the result is constant over the
+        diffusion trajectory and across recycle passes.
+        """
         residx = batch['residx']
         ab = slice(0, self.antibody_len)
         ag = slice(self.antibody_len, None)
+        b = residx.shape[0]
 
-        aa_embed = TokenEmbedding(num_token, c.seq_channel,
-                                  padding_idx=rc.unk_restype_index,
-                                  dtype=self.dtype, name='proj_aa_type')
-        relpos_embed = TokenEmbedding(c.max_relative_feature * 2 + 2,
-                                      c.pair_channel, dtype=self.dtype,
-                                      name='proj_rel_pos')
+        # Antigen track: clean tokens through an extra MLP.
+        ag_tokens = batch['seq'][:, ag].astype(jnp.int32)
+        ag_embed = self.proj_aa_type(ag_tokens)
+        ag_embed = self.aa_proj_norm(ag_embed)
+        ag_seq_act = self.aa_proj(ag_embed)
 
-        def rel_pos_ids(pos):
-            offset = pos[:, None, :] - pos[:, :, None]
-            return (jnp.clip(offset + c.max_relative_feature, 0,
-                             2 * c.max_relative_feature) + 1).astype(jnp.int32)
+        ab_pair_act = self.proj_rel_pos(self._rel_pos_ids(residx[:, ab]))
+        ag_pair_act = self.proj_rel_pos(self._rel_pos_ids(residx[:, ag]))
+
+        static_seq = jnp.concatenate(
+            [jnp.zeros((b, self.antibody_len, ag_seq_act.shape[-1]),
+                       ag_seq_act.dtype), ag_seq_act], axis=1)
+        static_seq = static_seq + self.encode_residue_emb(batch)
+        static_pair = pair_concat(ab_pair_act, ag_pair_act)
+        static_pair = static_pair + self.encode_pair_emb(batch)
+        return {'static_seq': static_seq, 'static_pair': static_pair}
+
+    def __call__(self, batch, esm_embedding=None, esm_fn=None,
+                 deterministic=True, static_acts=None):
+        c = self.config
+
+        seq_t = batch['seq_t'].astype(jnp.int32)
+        mask = batch['mask']
+        ab = slice(0, self.antibody_len)
+
+        if static_acts is None:
+            static_acts = self.static_embeddings(batch)
 
         # Antibody track: noisy tokens.
-        ab_seq_act = aa_embed(seq_t[:, ab])
-        ab_pair_act = relpos_embed(rel_pos_ids(residx[:, ab]))
+        ab_seq_act = self.proj_aa_type(seq_t[:, ab])
 
         if c.esm.enabled:
-            layer_weights = nn.softmax(
-                self.param('esm_embed_weights', nn.initializers.zeros,
-                           (c.esm.num_layers + 1,)))
+            layer_weights = nn.softmax(self.esm_embed_weights)
             if esm_fn is not None:
                 # Incremental weighted sum inside the ESM layer loop — the
                 # (B, L, D, num_layers+1) stack is never materialised
@@ -403,48 +516,28 @@ class EmbeddingAndSeqformer(nn.Module):
                 esm_act = jnp.einsum('blcn,n->blc',
                                      esm_embedding.astype(jnp.float32),
                                      layer_weights).astype(self.dtype)
-            esm_act = LayerNorm(dtype=self.dtype, name='esm_norm')(esm_act)
-            esm_act = MLP((c.seq_channel, c.seq_channel), ('linear', 'linear'),
-                          dtype=self.dtype, name='proj_esm_embed')(esm_act)
+            esm_act = self.esm_norm(esm_act)
+            esm_act = self.proj_esm_embed(esm_act)
             ab_seq_act = ab_seq_act + esm_act
 
-        # Antigen track: clean tokens through an extra MLP.
-        ag_tokens = batch['seq'][:, ag].astype(jnp.int32)
-        ag_embed = aa_embed(ag_tokens)
-        ag_embed = LayerNorm(dtype=self.dtype, name='aa_proj_norm')(ag_embed)
-        ag_seq_act = MLP((c.seq_channel, c.seq_channel), ('linear', 'linear'),
-                         dtype=self.dtype, name='aa_proj')(ag_embed)
-        ag_pair_act = relpos_embed(rel_pos_ids(residx[:, ag]))
+        b, l = seq_t.shape
+        seq_act = jnp.concatenate(
+            [ab_seq_act, jnp.zeros((b, l - self.antibody_len,
+                                    ab_seq_act.shape[-1]),
+                                   ab_seq_act.dtype)], axis=1)
+        seq_act = seq_act + static_acts['static_seq']
+        pair_act = static_acts['static_pair']
 
-        seq_act = jnp.concatenate([ab_seq_act, ag_seq_act], axis=1)
-        pair_act = pair_concat(ab_pair_act, ag_pair_act)
-
-        seq_act = seq_act + ResidueEmbedding(
-            c.seq_channel, dtype=self.dtype, name='encode_residue_emb')(batch)
-        pair_act = pair_act + PairEmbedding(
-            c.pair_channel,
-            dgram_num_bins=c.prev_pos.num_bins,
-            dgram_min_bin=c.prev_pos.min_bin,
-            dgram_max_bin=c.prev_pos.max_bin,
-            dtype=self.dtype, name='encode_pair_emb')(batch)
-
-        seq_act, pair_act = TimestepEmbedder(
-            c.index_embed_size, dtype=self.dtype, name='t_embedder')(
-            seq_act, pair_act, batch['t'])
+        seq_act, pair_act = self.t_embedder(seq_act, pair_act, batch['t'])
 
         if c.recycle_features and 'prev_seq' in batch:
-            seq_act = seq_act + LayerNorm(
-                dtype=self.dtype, name='prev_seq_norm')(batch['prev_seq'])
+            seq_act = seq_act + self.prev_seq_norm(batch['prev_seq'])
         if c.recycle_features and 'prev_pair' in batch:
-            pair_act = pair_act + LayerNorm(
-                dtype=self.dtype, name='prev_pair_norm')(batch['prev_pair'])
+            pair_act = pair_act + self.prev_pair_norm(batch['prev_pair'])
         if c.recycle_pos and 'prev_pos' in batch:
-            pair_act = pair_act + TokenEmbedding(
-                c.prev_pos.num_bins,
-                c.pair_channel + 2 * c.index_embed_size,
-                dtype=self.dtype, name='proj_prev_pos')(
+            pair_act = pair_act + self.proj_prev_pos(
                 batch['prev_pos'].astype(jnp.int32))
 
-        seq_act, pair_act = Seqformer(c, dtype=self.dtype, name='seqformer')(
-            seq_act, pair_act, mask, deterministic=deterministic)
+        seq_act, pair_act = self.seqformer(seq_act, pair_act, mask,
+                                           deterministic=deterministic)
         return seq_act, pair_act

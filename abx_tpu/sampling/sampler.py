@@ -123,7 +123,7 @@ class Sampler:
 
         num_recycle = self.model_config.num_recycle
 
-        def forward(params, esm_params, batch):
+        def forward(params, esm_params, batch, static_acts):
             efn = self.esm_fn
             if efn is not None and esm_params is not None:
                 efn = functools.partial(self.esm_fn, esm_params)
@@ -131,7 +131,8 @@ class Sampler:
             def single(mb, compute_loss, pass_idx):
                 del pass_idx  # deterministic inference: no dropout RNG
                 return model.apply(params, mb, esm_fn=efn,
-                                   num_recycle=0, compute_loss=compute_loss)
+                                   num_recycle=0, compute_loss=compute_loss,
+                                   static_acts=static_acts)
             return forward_with_recycling(single, batch, num_recycle,
                                           prev_pos_cfg)
 
@@ -153,6 +154,13 @@ class Sampler:
                       if k not in ('rigids_t', 'seq_t', 't',
                                    'rot_score_scaling',
                                    'trans_score_scaling')}
+
+            # Trajectory-invariant embedding terms: computed ONCE here and
+            # closed over by the scanned step (the reference recomputes
+            # them 3x per diffusion step — see
+            # EmbeddingAndSeqformer.static_embeddings).
+            static_acts = model.apply(params, batch,
+                                      method='static_embeddings')
 
             def model_batch(state, t):
                 mb = dict(static)
@@ -183,7 +191,7 @@ class Sampler:
                 state, key = carry
                 key, k_rev = jax.random.split(key)
                 mb = model_batch(state, t_model)
-                out = forward(params, esm_params, mb)
+                out = forward(params, esm_params, mb, static_acts)
                 folding = out['heads']['folding']
                 seq_head = out['heads']['sequence_module']
 

@@ -102,13 +102,21 @@ class Trainer:
             b, l = batch['seq'].shape
             batch.update(zero_prev(b, l, model_config))
 
+            # Static embeddings shared across recycle passes; gradient
+            # flows through them from the final pass (recycles are cut by
+            # the stop_gradients on prev_*/seq_t, matching the reference's
+            # no-grad recycling).
+            static_acts = model.apply(params, batch,
+                                      method='static_embeddings')
+
             def single(mb, compute_loss, pass_idx):
                 # Independent dropout masks per recycle pass (a shared key
                 # would correlate masks across passes).
                 k_pass = jax.random.fold_in(k_drop, pass_idx)
                 return model.apply(params, mb, compute_loss=compute_loss,
                                    deterministic=False,
-                                   rngs={'dropout': k_pass}, num_recycle=0)
+                                   rngs={'dropout': k_pass}, num_recycle=0,
+                                   static_acts=static_acts)
 
             # Random recycle depth per step (reference abx.py:87-91).
             n_rec = jax.random.randint(k_rec, (), 0,
