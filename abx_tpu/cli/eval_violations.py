@@ -47,7 +47,8 @@ def eval_one(pdb_file: str):
         jnp.asarray(np.concatenate(masks).astype(np.float32)),
         jnp.asarray(np.concatenate(residx)))
     return {'name': name, 'file': pdb_file, 'total': float(total),
-            'bond': float(terms['bond']), 'clash': float(terms['clash'])}
+            'bond': float(terms['bond']), 'clash': float(terms['clash']),
+            'within': float(terms['within'])}
 
 
 def main():
@@ -75,6 +76,8 @@ def main():
         w.writerows(rows)
     print(f"mean bond violation: {np.mean([r['bond'] for r in rows]):.4f}")
     print(f"mean clash violation: {np.mean([r['clash'] for r in rows]):.4f}")
+    print(f"mean within-residue violation: "
+          f"{np.mean([r['within'] for r in rows]):.4f}")
     print(f'wrote {csv_path}')
 
 

@@ -607,3 +607,112 @@ def atom14_element_radii() -> np.ndarray:
             if name:
                 out[i, j] = van_der_waals_radius[name[0]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Within-residue stereo-chemical bounds (Engh & Huber parameters).
+#
+# Parity surface: /root/reference/abx/common/residue_constants.py:395-525
+# (`load_stereo_chemical_props`, `make_atom14_dists_bounds`).  The data file
+# is the standard public Engh & Huber bond-geometry table (CCP4 / AF2
+# `stereo_chemical_props.txt`, physical constants); the builder below is a
+# reimplementation: bond angles are converted to atom1-atom3 "virtual bond"
+# distances via the law of cosines with first-order error propagation, then
+# every covalent/virtual bond overwrites the generic clash bound.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def load_stereo_chemical_props():
+    """Parse the Engh & Huber table.
+
+    Returns (bonds, virtual_bonds, bond_angles): each maps resname ->
+    list of tuples.  Bonds: (atom1, atom2, length, stddev).  Angles:
+    (atom1, atom2, atom3, angle_rad, stddev_rad); virtual bonds are the
+    law-of-cosines atom1-atom3 distances implied by each angle.
+    """
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'data', 'stereo_chemical_props.txt')
+    with open(path) as f:
+        sections = f.read().split('-\n')
+
+    def rows(section, skip):
+        out = []
+        for line in section.strip().splitlines()[skip:]:
+            parts = line.split()
+            if len(parts) == 4:
+                out.append(parts)
+        return out
+
+    bonds: Dict[str, list] = {}
+    for spec, resname, length, stddev in rows(sections[0], 1):
+        a1, a2 = spec.split('-')
+        bonds.setdefault(resname, []).append(
+            (a1, a2, float(length), float(stddev)))
+    bonds['UNK'] = []
+
+    angles: Dict[str, list] = {}
+    for spec, resname, deg, stddev_deg in rows(sections[1], 1):
+        a1, a2, a3 = spec.split('-')
+        angles.setdefault(resname, []).append(
+            (a1, a2, a3, float(deg) * np.pi / 180.0,
+             float(stddev_deg) * np.pi / 180.0))
+    angles['UNK'] = []
+
+    virtual: Dict[str, list] = {}
+    for resname, ang_list in angles.items():
+        lookup = {}
+        for a1, a2, length, stddev in bonds.get(resname, []):
+            lookup[frozenset((a1, a2))] = (length, stddev)
+        virtual[resname] = []
+        for a1, a2, a3, gamma, gamma_std in ang_list:
+            l12, s12 = lookup[frozenset((a1, a2))]
+            l23, s23 = lookup[frozenset((a2, a3))]
+            # c^2 = a^2 + b^2 - 2ab cos(gamma)
+            length = np.sqrt(l12 ** 2 + l23 ** 2
+                             - 2.0 * l12 * l23 * np.cos(gamma))
+            # First-order (uncorrelated) propagation of uncertainty.
+            dc_dgamma = l12 * l23 * np.sin(gamma) / length
+            dc_d12 = (l12 - l23 * np.cos(gamma)) / length
+            dc_d23 = (l23 - l12 * np.cos(gamma)) / length
+            stddev = np.sqrt((dc_dgamma * gamma_std) ** 2
+                             + (dc_d12 * s12) ** 2 + (dc_d23 * s23) ** 2)
+            virtual[resname].append((a1, a3, float(length), float(stddev)))
+    return bonds, virtual, angles
+
+
+@functools.lru_cache(maxsize=8)
+def make_atom14_dists_bounds(overlap_tolerance: float = 1.5,
+                             bond_length_tolerance_factor: float = 15.0):
+    """(21, 14, 14) lower/upper distance bounds + stddev per residue type.
+
+    Non-bonded within-residue atom pairs get a van-der-Waals clash lower
+    bound (sum of radii - overlap_tolerance, upper bound inf); covalently
+    bonded and angle-constrained ("virtual bond") pairs get
+    length +- tolerance_factor * stddev.
+    """
+    lower = np.zeros([restype_num + 1, 14, 14], np.float32)
+    upper = np.zeros([restype_num + 1, 14, 14], np.float32)
+    stddev = np.zeros([restype_num + 1, 14, 14], np.float32)
+    bonds, virtual, _ = load_stereo_chemical_props()
+    radii = atom14_element_radii()
+    for r in range(restype_num):
+        resname = restype_1to3[restypes[r]]
+        names = restype_name_to_atom14_names[resname]
+        idx_of = {n: i for i, n in enumerate(names) if n}
+        present = np.array([bool(n) for n in names])
+        # Clash bounds for every distinct present pair.
+        pair_ok = np.outer(present, present)
+        np.fill_diagonal(pair_ok, False)
+        rsum = radii[r][:, None] + radii[r][None, :]
+        lower[r] = np.where(pair_ok, rsum - overlap_tolerance, 0.0)
+        upper[r] = np.where(pair_ok, 1e10, 0.0)
+        # Bond / virtual-bond pairs overwrite the clash bound.
+        for a1, a2, length, std in bonds[resname] + virtual[resname]:
+            i, j = idx_of[a1], idx_of[a2]
+            lo = length - bond_length_tolerance_factor * std
+            hi = length + bond_length_tolerance_factor * std
+            lower[r, i, j] = lower[r, j, i] = lo
+            upper[r, i, j] = upper[r, j, i] = hi
+            stddev[r, i, j] = stddev[r, j, i] = std
+    return {'lower_bound': lower, 'upper_bound': upper, 'stddev': stddev}

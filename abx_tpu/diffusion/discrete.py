@@ -59,11 +59,13 @@ class DiscreteDiffuser:
         return jax.random.randint(key, shape, 0, self.num_states,
                                   dtype=jnp.int32)
 
-    def forward_marginal(self, key, x_0, t):
+    def forward_marginal(self, key, x_0, t, return_xt: bool = False):
         """Sample x_t ~ q(x_t|x_0) plus one auxiliary corrupted site.
 
         Returns (x_tilde, q_t0, rate_t); the extra site feeds the CTMC ELBO
-        (reference :72-127).
+        (reference :72-127).  With `return_xt`, also returns the pre-
+        corruption x_t as a 4th element — the exact tau-leaping ELBO
+        (Campbell et al.) needs the (x_t, x_tilde) jump pair.
         """
         batch, length = x_0.shape
         qt0 = self.transition(t)          # (B, S, S)
@@ -93,6 +95,8 @@ class DiscreteDiffuser:
             k_val, jnp.log(site_rates + 1e-35), axis=-1).astype(jnp.int32)
         x_tilde = jax.vmap(
             lambda x, s, v: x.at[s].set(v))(x_t, site, new_val)
+        if return_xt:
+            return x_tilde, qt0, rate, x_t
         return x_tilde, qt0, rate
 
     def reverse(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9):

@@ -109,10 +109,16 @@ class JointDiffuser:
             trans_score_scaling = jnp.ones_like(t)
 
         if c.diffuse_seq:
-            seq_t, q_t0, rate_t = self.seq.forward_marginal(k_seq, seq_0, t)
+            # seq_t IS x_tilde (the one-extra-site corruption): the reference
+            # feeds x_tilde to the network (tauLDR one-forward-pass scheme,
+            # discrete_diffuser.py:72-127); seq_xt is the pre-corruption x_t
+            # the exact ELBO's jump term needs.
+            seq_t, q_t0, rate_t, seq_xt = self.seq.forward_marginal(
+                k_seq, seq_0, t, return_xt=True)
         else:
             s = self.seq.num_states
             seq_t = seq_0
+            seq_xt = seq_0
             q_t0 = jnp.broadcast_to(jnp.eye(s), (t.shape[0], s, s))
             rate_t = jnp.zeros((t.shape[0], s, s))
 
@@ -123,6 +129,7 @@ class JointDiffuser:
             rot_score = rot_score * m[..., None]
             trans_score = trans_score * m[..., None]
             seq_t = _mask_mix(seq_t, seq_0, m).astype(seq_0.dtype)
+            seq_xt = _mask_mix(seq_xt, seq_0, m).astype(seq_0.dtype)
 
         return {
             'rigids_t': tensor7_join(rot_t, trans_t),
@@ -131,6 +138,7 @@ class JointDiffuser:
             'trans_score_scaling': trans_score_scaling,
             'rot_score_scaling': rot_score_scaling,
             'seq_t': seq_t,
+            'seq_xt': seq_xt,
             'q_t0': q_t0,
             'rate_t': rate_t,
         }

@@ -97,8 +97,25 @@ def violation_energy(atom14, seq, atom_exists, residx,
     clash_mask = pair_exist * (1 - same) * (1 - neighbor)
     clash_e = jnp.sum(clash * clash_mask) / (jnp.sum(clash_mask) + 1e-6)
 
-    total = bonds + clash_e
-    return total, {'bond': bonds, 'clash': clash_e}
+    # Within-residue stereo bounds (Engh & Huber;
+    # reference residue_constants.py:483-525): covalent/virtual bond pairs
+    # within each residue must stay in [lower, upper].
+    bounds = rc.make_atom14_dists_bounds(
+        overlap_tolerance=clash_overlap_tolerance)
+    seq_c = jnp.clip(seq, 0, rc.restype_num)
+    lo = jnp.asarray(bounds['lower_bound'])[seq_c]   # (L, 14, 14)
+    hi = jnp.asarray(bounds['upper_bound'])[seq_c]
+    dw = jnp.sqrt(jnp.sum(jnp.square(
+        atom14[:, :, None, :] - atom14[:, None, :, :]), -1) + 1e-8)
+    w_mask = (atom_exists[:, :, None] * atom_exists[:, None, :]
+              * (1.0 - jnp.eye(14)) * (hi > 0))
+    w_err = (jnp.maximum(lo - dw, 0.0)
+             + jnp.maximum(dw - jnp.where(hi > 0, hi, 1e10), 0.0))
+    within_e = jnp.sum(jnp.square(w_err) * w_mask) / (
+        jnp.sum(w_mask) + 1e-6)
+
+    total = bonds + clash_e + within_e
+    return total, {'bond': bonds, 'clash': clash_e, 'within': within_e}
 
 
 def jax_relax(atom14, seq, atom_exists, residx, move_mask,

@@ -110,6 +110,33 @@ def fused_dense(x, branches, dtype):
     return jnp.split(y, sizes, axis=-1)
 
 
+def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=jnp.float32):
+    """Functional LayerNorm in f32 with one-pass moments.
+
+    One-pass (E[x^2] - E[x]^2) so XLA fuses both reductions into a single
+    read of x — the two-pass form costs an extra full traversal of the
+    O(L^2 C) pair track per LayerNorm (profiled ~5 ms/step); f32
+    accumulation keeps the cancellation benign at trunk magnitudes.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    meansq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(dtype)
+
+
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm params without computing (for fused kernels);
+    param tree identical to `LayerNorm` when given the same name."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('scale', nn.initializers.ones, (self.dim,)),
+                self.param('bias', nn.initializers.zeros, (self.dim,)))
+
+
 class LayerNorm(nn.Module):
     """LayerNorm computed in f32 regardless of compute dtype.
 
@@ -123,12 +150,7 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (dim,))
         bias = self.param('bias', nn.initializers.zeros, (dim,))
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        out = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        out = out * scale + bias
-        return out.astype(self.dtype)
+        return layer_norm(x, scale, bias, eps=self.epsilon, dtype=self.dtype)
 
 
 class MLP(nn.Module):

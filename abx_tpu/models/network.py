@@ -32,25 +32,32 @@ def get_prev(batch, outputs, prev_pos_config) -> Dict[str, jnp.ndarray]:
     prev_pos = frame_ops.dgram_from_positions(
         pb, prev_pos_config.num_bins, prev_pos_config.min_bin,
         prev_pos_config.max_bin)
-    # prev_* are carried across recycle/scan iterations: keep f32 so the
-    # loop carry dtype is stable whatever the trunk compute dtype is.
+    # prev_* are carried across recycle/scan iterations in the TRUNK compute
+    # dtype (static per model, so the loop carry dtype is stable): an f32
+    # prev_pair is 255 MB at B=4, L=288 — written and re-read every pass for
+    # no precision benefit since the consumer LayerNorm immediately follows
+    # a bf16 trunk output anyway.
+    seq_repr = outputs['representations']['seq']
     return {
         'prev_pos': jax.lax.stop_gradient(prev_pos),
-        'prev_seq': jax.lax.stop_gradient(
-            outputs['representations']['seq'].astype(jnp.float32)),
+        'prev_seq': jax.lax.stop_gradient(seq_repr),
         'prev_pair': jax.lax.stop_gradient(
-            outputs['representations']['pair'].astype(jnp.float32)),
+            outputs['representations']['pair']),
     }
 
 
-def zero_prev(batch_size: int, num_res: int, config) -> Dict[str, jnp.ndarray]:
+def zero_prev(batch_size: int, num_res: int, config,
+              dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Zero recycling features; `dtype` must match the trunk compute dtype
+    (the scan/fori carry dtype is set by these and by get_prev)."""
     c = config.embeddings_and_seqformer
     seq_ch = c.seq_channel + c.index_embed_size
     pair_ch = c.pair_channel + 2 * c.index_embed_size
     return {
         'prev_pos': jnp.zeros((batch_size, num_res, num_res), jnp.int32),
-        'prev_seq': jnp.zeros((batch_size, num_res, seq_ch)),
-        'prev_pair': jnp.zeros((batch_size, num_res, num_res, pair_ch)),
+        'prev_seq': jnp.zeros((batch_size, num_res, seq_ch), dtype),
+        'prev_pair': jnp.zeros((batch_size, num_res, num_res, pair_ch),
+                               dtype),
     }
 
 
@@ -205,7 +212,7 @@ class ScoreNetwork(nn.Module):
         batch = dict(batch)
         b, l = batch['seq'].shape
         if 'prev_seq' not in batch:
-            batch.update(zero_prev(b, l, c))
+            batch.update(zero_prev(b, l, c, dtype=self.dtype))
 
         # Static embeddings are shared across the recycle passes (and, when
         # the caller hoists them, across the whole sampling trajectory).

@@ -74,14 +74,31 @@ class GatedAttention(nn.Module):
             if k_data is q_data:
                 # Self-attention: q/k/v (and the gate, which also reads
                 # q_data) fuse into ONE matmul — param tree unchanged.
-                branches = [
-                    LinearParams(self.key_dim, c_in, init='attn',
-                                 use_bias=False, name='proj_q')(),
-                    LinearParams(self.key_dim, c_in, init='attn',
-                                 use_bias=False, name='proj_k')(),
-                    LinearParams(self.value_dim, c_in, init='attn',
-                                 use_bias=False, name='proj_v')(),
-                ]
+                kq, _ = LinearParams(self.key_dim, c_in, init='attn',
+                                     use_bias=False, name='proj_q')()
+                kk, _ = LinearParams(self.key_dim, c_in, init='attn',
+                                     use_bias=False, name='proj_k')()
+                kv, _ = LinearParams(self.value_dim, c_in, init='attn',
+                                     use_bias=False, name='proj_v')()
+                if fused and bias_llh is not None and k_mask is not None:
+                    # Layout-native fused path: the kernel does the per-head
+                    # projections itself — q/k/v never exist in HBM and no
+                    # head-major transposes are emitted.
+                    from abx_tpu.ops.tri_attention import \
+                        triangle_attention_packed
+                    out = triangle_attention_packed(
+                        q_data, kq, kk, kv,
+                        jnp.moveaxis(bias_llh, -1, -3), k_mask[:, 0])
+                    if self.gating:
+                        kg, bg = LinearParams(self.value_dim, c_in,
+                                              init='gate', name='gate')()
+                        gate_pre = (jnp.dot(q_data.astype(self.dtype),
+                                            kg.astype(self.dtype))
+                                    + bg.astype(self.dtype))
+                        out = out * nn.sigmoid(gate_pre)
+                    return Linear(self.output_dim, init='final',
+                                  dtype=self.dtype, name='proj_out')(out)
+                branches = [(kq, None), (kk, None), (kv, None)]
                 if self.gating:
                     branches.append(LinearParams(
                         self.value_dim, c_in, init='gate', name='gate')())
@@ -97,68 +114,48 @@ class GatedAttention(nn.Module):
                 v = Linear(self.value_dim, init='attn', use_bias=False,
                            dtype=self.dtype, name='proj_v')(k_data)
 
-        def heads(t, d):
-            # (..., q, h*d) -> head-major (..., h, q, d); only the fused
-            # Pallas path needs this physical layout.
-            return t.reshape(t.shape[:-1] + (h, d)).swapaxes(-2, -3)
-
         def heads_minor(t, d):
             # (..., q, h*d) -> (..., q, h, d): a free reshape; einsums
             # below keep this layout so XLA folds the head split into the
             # dot_generals instead of emitting copies.
             return t.reshape(t.shape[:-1] + (h, d))
 
-        if fused and self.split_first and bias_llh is not None \
-                and k_mask is not None:
-            # Fused VMEM-resident attention (ops/tri_attention.py): the
-            # logits tensor never touches HBM — the hottest op of the whole
-            # trunk per on-chip profiling.  (A fully layout-native variant
-            # that also avoids the head-split transposes hits Mosaic block
-            # constraints at D=48; see ROADMAP.)
-            from abx_tpu.ops.tri_attention import triangle_attention_fused
-            out = triangle_attention_fused(
-                heads(q, key_dim), heads(k, key_dim), heads(v, value_dim),
-                jnp.moveaxis(bias_llh, -1, -3), k_mask[:, 0]).astype(
-                self.dtype)
-            out = out.swapaxes(-2, -3).reshape(
-                out.shape[:-3] + (q_data.shape[-2], self.value_dim))
-        else:
-            if not self.split_first:
-                assert k_data is None
-                # Fused projection with PER-HEAD [q‖k‖v] column layout,
-                # matching the reference (seqformer.py:280-281: reshape to
-                # heads first, then chunk) — keeps checkpoint conversion a
-                # pure transpose.  The gate reads the same input and joins
-                # the matmul.
-                branches = [LinearParams(self.key_dim * 3, c_in, init='attn',
-                                         use_bias=False, name='proj_in')()]
-                if self.gating:
-                    branches.append(LinearParams(
-                        self.value_dim, c_in, init='gate', name='gate')())
-                    qkv, gate_pre = fused_dense(q_data, branches, self.dtype)
-                else:
-                    (qkv,) = fused_dense(q_data, branches, self.dtype)
-                qkv = heads_minor(qkv, 3 * key_dim)
-                q, k, v = jnp.split(qkv, 3, axis=-1)
+        if not self.split_first:
+            assert k_data is None
+            # Fused projection with PER-HEAD [q‖k‖v] column layout,
+            # matching the reference (seqformer.py:280-281: reshape to
+            # heads first, then chunk) — keeps checkpoint conversion a
+            # pure transpose.  The gate reads the same input and joins
+            # the matmul.
+            branches = [LinearParams(self.key_dim * 3, c_in, init='attn',
+                                     use_bias=False, name='proj_in')()]
+            if self.gating:
+                branches.append(LinearParams(
+                    self.value_dim, c_in, init='gate', name='gate')())
+                qkv, gate_pre = fused_dense(q_data, branches, self.dtype)
             else:
-                q, k, v = (heads_minor(q, key_dim), heads_minor(k, key_dim),
-                           heads_minor(v, value_dim))
-            if bias is None and bias_llh is not None:
-                bias = jnp.moveaxis(bias_llh, -1, -3)
-            q = q * (key_dim ** -0.5)
-            logits = jnp.einsum('...qhd,...khd->...hqk', q, k)
-            if bias is not None:
-                # bias: (B, H, Q, K), shared over the rows axis.
-                logits = logits + bias[:, None].astype(logits.dtype)
-            if k_mask is not None:
-                # k_mask: (B, S, K) -> additive mask.
-                neg = (1.0 - k_mask[:, :, None, None, :]) * BIG_NEG
-                logits = logits + neg.astype(logits.dtype)
+                (qkv,) = fused_dense(q_data, branches, self.dtype)
+            qkv = heads_minor(qkv, 3 * key_dim)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q, k, v = (heads_minor(q, key_dim), heads_minor(k, key_dim),
+                       heads_minor(v, value_dim))
+        if bias is None and bias_llh is not None:
+            bias = jnp.moveaxis(bias_llh, -1, -3)
+        q = q * (key_dim ** -0.5)
+        logits = jnp.einsum('...qhd,...khd->...hqk', q, k)
+        if bias is not None:
+            # bias: (B, H, Q, K), shared over the rows axis.
+            logits = logits + bias[:, None].astype(logits.dtype)
+        if k_mask is not None:
+            # k_mask: (B, S, K) -> additive mask.
+            neg = (1.0 - k_mask[:, :, None, None, :]) * BIG_NEG
+            logits = logits + neg.astype(logits.dtype)
 
-            weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-                self.dtype)
-            out = jnp.einsum('...hqk,...khd->...qhd', weights, v)
-            out = out.reshape(out.shape[:-2] + (self.value_dim,))
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        out = jnp.einsum('...hqk,...khd->...qhd', weights, v)
+        out = out.reshape(out.shape[:-2] + (self.value_dim,))
         if self.gating:
             if gate_pre is None:
                 gate_pre = Linear(self.value_dim, init='gate',
@@ -193,15 +190,35 @@ class Transition(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, act, mask=None):
+    def __call__(self, act, mask=None, residual: bool = False,
+                 deterministic: bool = True):
+        """LN -> C*factor -> relu -> C [+ act when residual].
+
+        On the 4-D pair track at inference this dispatches to the fused
+        Pallas block (ops/transition.py) — one HBM round trip instead of
+        five; the functional path below is the differentiable fallback.
+        """
+        from abx_tpu.models.modules import LayerNormParams, layer_norm
+        from abx_tpu.ops.registry import use_fused_transition
         c = self.config
         num_in = act.shape[-1]
-        act = LayerNorm(dtype=self.dtype, name='norm')(act)
-        act = Linear(num_in * c.num_intermediate_factor, init='linear',
-                     dtype=self.dtype, name='in_proj')(act)
-        act = nn.relu(act)
-        return Linear(num_in, init='final', dtype=self.dtype,
-                      name='out_proj')(act)
+        n_mid = num_in * c.num_intermediate_factor
+        scale, ln_bias = LayerNormParams(num_in, name='norm')()
+        w1, b1 = LinearParams(n_mid, num_in, init='linear',
+                              name='in_proj')()
+        w2, b2 = LinearParams(num_in, n_mid, init='final',
+                              name='out_proj')()
+        if (residual and deterministic and act.ndim == 4
+                and jax.default_backend() == 'tpu'
+                and use_fused_transition()):
+            from abx_tpu.ops.transition import fused_transition
+            return fused_transition(act, scale, ln_bias, w1, b1, w2, b2)
+        x = layer_norm(act, scale, ln_bias, dtype=self.dtype)
+        x = nn.relu(jnp.dot(x.astype(self.dtype), w1.astype(self.dtype))
+                    + b1.astype(self.dtype))
+        out = (jnp.dot(x.astype(self.dtype), w2.astype(self.dtype))
+               + b2.astype(self.dtype))
+        return act + out if residual else out
 
 
 class OuterProductMean(nn.Module):
@@ -356,8 +373,9 @@ class SeqformerIteration(nn.Module):
                               dtype=self.dtype, name='tri_attn_end')(
                 pair_act, seq_mask, deterministic=deterministic),
             c.triangle_attention_ending_node)
-        pair_act = pair_act + Transition(c.pair_transition, dtype=self.dtype,
-                                         name='pair_transition')(pair_act)
+        pair_act = Transition(c.pair_transition, dtype=self.dtype,
+                              name='pair_transition')(
+            pair_act, residual=True, deterministic=deterministic)
         return seq_act, pair_act
 
 

@@ -22,3 +22,10 @@ def use_fused_tri_attention() -> bool:
     kernel has no custom VJP) and non-TPU backends.
     """
     return os.environ.get('ABX_FUSED_TRI_ATTN', '1') == '1'
+
+
+def use_fused_transition() -> bool:
+    """Fused pair-transition block (LN+MLP+residual in one VMEM pass).
+
+    Inference-only (no custom VJP); TPU backend only."""
+    return os.environ.get('ABX_FUSED_TRANSITION', '1') == '1'

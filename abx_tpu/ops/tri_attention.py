@@ -103,6 +103,121 @@ def triangle_attention_fused(q, k, v, bias, mask, row_block: int = 8,
     return out[:, :r]
 
 
+def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
+                   out_ref, *, scale: float):
+    """Projection + attention for one (batch, row-block) program.
+
+    x_ref: (1, RB, L, C) post-LN pair activations, NATURAL layout.
+    w*_ref: (H, C, D) per-head projection weights (leading-dim indexed).
+    bias_ref: (1, H, L, L) f32.  maskbias_ref: (1, 1, L) additive.
+    out_ref: (1, RB, L, H*D) — heads concatenated on lanes, so the
+    consumer's head merge is a free bitcast (no layout copies anywhere).
+    """
+    x = x_ref[0]                                  # (RB, L, C) bf16
+    maskb = maskbias_ref[0]                       # (1, L)
+    h = wq_ref.shape[0]
+    in_dt = x.dtype
+    proj_dims = (((2,), (0,)), ((), ()))          # (RB, L, C) @ (C, D)
+    outs = []
+    for hh in range(h):
+        # MXU dots run on the input dtype (bf16 at full rate; f32 would run
+        # ~8x slower) with f32 accumulation; softmax stays f32.
+        q = jax.lax.dot_general(x, wq_ref[hh], proj_dims,
+                                preferred_element_type=jnp.float32)
+        k = jax.lax.dot_general(x, wk_ref[hh], proj_dims,
+                                preferred_element_type=jnp.float32)
+        v = jax.lax.dot_general(x, wv_ref[hh], proj_dims,
+                                preferred_element_type=jnp.float32)
+        logits = jax.lax.dot_general(
+            (q * scale).astype(in_dt), k.astype(in_dt),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (RB, L, L)
+        logits = logits + bias_ref[0, hh][None] + maskb[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            probs.astype(in_dt), v.astype(in_dt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))  # (RB, L, D)
+    out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('row_block', 'interpret'))
+def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block: int = 8,
+                              interpret: bool = False):
+    """Layout-native fused triangle attention: projection + attention.
+
+    The head-major variant above needs three (B, R, L, H, D) transposes in
+    and one out — measured ~19 ms/step at B=4, L=288, MORE than the kernel
+    itself.  This variant consumes the post-LN pair activations directly
+    and performs the per-head q/k/v projections INSIDE the kernel, keeping
+    every HBM tensor in its natural (B, R, L, C) layout.
+
+    Args:
+        x: (B, R, L, C) post-LN pair activations (rows attend per row).
+        wq, wk, wv: (C, H*D) projection weights (column-major head blocks,
+            i.e. the plain Linear kernel layout).
+        bias: (B, H, L, L) attention bias, shared across rows.
+        mask: (B, L) key mask (1 = valid).
+    Returns: (B, R, L, H*D), dtype of x.
+    """
+    b, r, l, c = x.shape
+    h = bias.shape[1]
+    d = wq.shape[-1] // h
+    scale = d ** -0.5
+    rpad = (-r) % row_block
+    if rpad:
+        x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
+    rp = x.shape[1]
+    n_rb = rp // row_block
+
+    # (C, H*D) -> (H, C, D): head becomes a leading (untiled) axis the
+    # kernel indexes statically; done once per call on tiny tensors.
+    def per_head(w):
+        return jnp.moveaxis(w.reshape(c, h, d), 1, 0).astype(x.dtype)
+
+    maskbias = ((1.0 - mask.astype(jnp.float32)) * BIG_NEG)[:, None, :]
+
+    grid = (b, n_rb)
+    x_spec = pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0))
+    w_spec = pl.BlockSpec((h, c, d), lambda bb, rr: (0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            x_spec, w_spec, w_spec, w_spec,
+            pl.BlockSpec((1, h, l, l), lambda bb, rr: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, row_block, l, h * d),
+                               lambda bb, rr: (bb, rr, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
+        interpret=interpret,
+    )(x, per_head(wq), per_head(wk), per_head(wv),
+      bias.astype(jnp.float32), maskbias)
+    return out[:, :r]
+
+
+def triangle_attention_packed_reference(x, wq, wk, wv, bias, mask):
+    """Plain-XLA semantics twin of the packed kernel (tests/fallback)."""
+    b, r, l, c = x.shape
+    h = bias.shape[1]
+    d = wq.shape[-1] // h
+    def proj(w):
+        y = jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32))
+        return y.reshape(b, r, l, h, d)
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    logits = jnp.einsum('brqhd,brkhd->brhqk', q * (d ** -0.5), k)
+    logits = logits + bias[:, None].astype(jnp.float32)
+    maskbias = (1.0 - mask.astype(jnp.float32)) * BIG_NEG
+    logits = logits + maskbias[:, None, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum('brhqk,brkhd->brqhd', probs, v)
+    return out.reshape(b, r, l, h * d).astype(x.dtype)
+
+
 def triangle_attention_reference(q, k, v, bias, mask):
     """Plain-XLA semantics twin of the fused kernel (for tests/fallback)."""
     scale = q.shape[-1] ** -0.5

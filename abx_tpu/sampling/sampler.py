@@ -147,7 +147,8 @@ class Sampler:
             state = {
                 'rigids_t': batch['rigids_t'],
                 'seq_t': batch['seq_t'].astype(jnp.int32),
-                **zero_prev(b, l, self.model_config),
+                **zero_prev(b, l, self.model_config,
+                            dtype=self.model.dtype),
             }
 
             static = {k: v for k, v in batch.items()

@@ -272,9 +272,26 @@ def violation_loss(batch: Dict, folding: Dict, cfg: Any) -> Dict:
     else:
         clash_loss = jnp.sum(clash * clash_mask) / (b * l)
 
-    loss = bond_loss + angle_loss + clash_loss
+    # Within-residue bond/angle/clash bounds (Engh & Huber table;
+    # reference residue_constants.py:483-525 make_atom14_dists_bounds).
+    bounds = rc.make_atom14_dists_bounds(
+        overlap_tolerance=cfg.clash_overlap_tolerance,
+        bond_length_tolerance_factor=tol)
+    lo = jnp.asarray(bounds['lower_bound'])[seq]   # (B, L, 14, 14)
+    hi = jnp.asarray(bounds['upper_bound'])[seq]
+    dw = jnp.sqrt(jnp.sum(jnp.square(
+        pos[:, :, :, None, :] - pos[:, :, None, :, :]), -1) + 1e-10)
+    within_mask = (atom_exists[..., :, None] * atom_exists[..., None, :]
+                   * (1.0 - jnp.eye(14)) * mask[..., None, None]
+                   * (hi > 0))
+    within_err = (jnp.maximum(lo - dw, 0.0)
+                  + jnp.maximum(dw - jnp.where(hi > 0, hi, 1e10), 0.0))
+    within_loss = jnp.sum(within_err * within_mask) / (
+        jnp.sum(within_mask) + 1e-6)
+
+    loss = bond_loss + angle_loss + clash_loss + within_loss
     return {'loss': loss, 'bond': bond_loss, 'angle': angle_loss,
-            'clash': clash_loss}
+            'clash': clash_loss, 'within': within_loss}
 
 
 def distogram_loss(batch: Dict, disto: Dict, cfg: Any) -> Dict:

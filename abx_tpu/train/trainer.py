@@ -100,7 +100,8 @@ class Trainer:
                 key=k_noise, mode='train', is_training=True)
             batch = make_static_pair_features(batch)
             b, l = batch['seq'].shape
-            batch.update(zero_prev(b, l, model_config))
+            batch.update(zero_prev(b, l, model_config,
+                                   dtype=model.dtype))
 
             # Static embeddings shared across recycle passes; gradient
             # flows through them from the final pass (recycles are cut by

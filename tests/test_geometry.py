@@ -216,3 +216,47 @@ class TestFrames:
         assert bins[0, 0, 0] == 0
         assert bins[0, 0, 2] == 14  # beyond max bin
         assert 0 < bins[0, 0, 1] < 14
+
+
+class TestStereoBounds:
+    def test_bounds_match_reference(self):
+        """Golden: make_atom14_dists_bounds == reference tables."""
+        import sys
+        sys.path.insert(0, '/root/reference')
+        try:
+            from abx.common import residue_constants as ref_rc
+        except ImportError:
+            import pytest
+            pytest.skip('reference not importable')
+        ours = rc.make_atom14_dists_bounds()
+        theirs = ref_rc.make_atom14_dists_bounds()
+        for k in ('lower_bound', 'upper_bound', 'stddev'):
+            np.testing.assert_allclose(ours[k], theirs[k], atol=1e-6,
+                                       err_msg=k)
+
+    def test_within_residue_violation_detects_squeezed_bond(self):
+        """violation_energy's within term fires when a bond is compressed."""
+        import jax.numpy as jnp
+        from abx_tpu.evaluation.relax import violation_energy
+        # One alanine with ideal-ish geometry.
+        atom14 = np.zeros((1, 14, 3), np.float32)
+        atom14[0, 0] = [0.0, 0.0, 0.0]        # N
+        atom14[0, 1] = [1.459, 0.0, 0.0]      # CA
+        atom14[0, 2] = [2.0, 1.42, 0.0]       # C (~1.52 from CA)
+        atom14[0, 3] = [3.2, 1.5, 0.0]        # O (~1.23 from C)
+        atom14[0, 4] = [1.95, -0.85, 1.2]     # CB (~1.52 from CA)
+        exists = np.zeros((1, 14), np.float32)
+        exists[0, :5] = 1.0
+        seq = np.array([rc.restype_order['A']])
+        residx = np.array([0])
+        _, terms = violation_energy(jnp.asarray(atom14), jnp.asarray(seq),
+                                    jnp.asarray(exists), jnp.asarray(residx))
+        ok_within = float(terms['within'])
+        # Now squeeze N-CA to 0.7 A — far below the lower bound.
+        atom14_bad = atom14.copy()
+        atom14_bad[0, 1] = [0.7, 0.0, 0.0]
+        _, terms_bad = violation_energy(jnp.asarray(atom14_bad),
+                                        jnp.asarray(seq),
+                                        jnp.asarray(exists),
+                                        jnp.asarray(residx))
+        assert float(terms_bad['within']) > ok_within + 0.01

@@ -39,3 +39,78 @@ class TestTriangleAttention:
                                                   row_block=4,
                                                   interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestTriangleAttentionPacked:
+    @pytest.mark.parametrize('shape', [(1, 16, 32, 24, 4, 6),
+                                       (2, 10, 40, 16, 2, 8)])
+    def test_packed_matches_reference(self, shape):
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed, triangle_attention_packed_reference)
+        b, r, l, c, h, d = shape
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        wq = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wk = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wv = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        bias = jnp.asarray(rng.randn(b, h, l, l), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -3:].set(0)
+        want = np.asarray(triangle_attention_packed_reference(
+            x, wq, wk, wv, bias, mask))
+        got = np.asarray(triangle_attention_packed(
+            x, wq, wk, wv, bias, mask, row_block=4, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_row_padding(self):
+        """Rows not divisible by row_block are padded and cropped."""
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed, triangle_attention_packed_reference)
+        b, r, l, c, h, d = 1, 7, 24, 16, 2, 8
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        wq = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wk = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wv = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        bias = jnp.asarray(rng.randn(b, h, l, l), jnp.float32)
+        mask = jnp.ones((b, l))
+        want = np.asarray(triangle_attention_packed_reference(
+            x, wq, wk, wv, bias, mask))
+        got = np.asarray(triangle_attention_packed(
+            x, wq, wk, wv, bias, mask, row_block=4, interpret=True))
+        assert got.shape == (b, r, l, h * d)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestFusedTransition:
+    def test_matches_reference(self):
+        from abx_tpu.ops.transition import (fused_transition,
+                                            fused_transition_reference)
+        rng = np.random.RandomState(3)
+        b, r, l, c, n = 2, 12, 16, 24, 96
+        x = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        w1 = jnp.asarray(0.1 * rng.randn(c, n), jnp.float32)
+        b1 = jnp.asarray(0.1 * rng.randn(n), jnp.float32)
+        w2 = jnp.asarray(0.1 * rng.randn(n, c), jnp.float32)
+        b2 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        want = np.asarray(fused_transition_reference(
+            x, scale, bias, w1, b1, w2, b2))
+        got = np.asarray(fused_transition(
+            x, scale, bias, w1, b1, w2, b2, row_block=8, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_transition_module_paths_agree(self):
+        """Functional path with residual == LN+MLP+add composition."""
+        import flax.linen as nn_
+        from abx_tpu.models.seqformer import Transition
+        import ml_collections
+        cfg = ml_collections.ConfigDict({'num_intermediate_factor': 4})
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(1, 6, 8, 16), jnp.float32)
+        m = Transition(cfg)
+        params = m.init(jax.random.PRNGKey(0), x)
+        no_res = m.apply(params, x)
+        res = m.apply(params, x, residual=True)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(x + no_res),
+                                   rtol=1e-5, atol=1e-5)
