@@ -72,7 +72,8 @@ def build_runtime(model_config_path: Optional[str] = None,
         cfg = config_lib.load_config(model_config_path)
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     dcfg = DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len,
-                      cfg.data.patch_radius, cfg.data.anchor_neighbors)
+                      cfg.data.patch_radius, cfg.data.anchor_neighbors,
+                      cfg.data.get('parity_random_antigen_window', False))
     if esm_checkpoint or esm_random:
         # Must happen BEFORE param init/conversion so the trunk's ESM
         # projection params are created and mapped.

@@ -134,7 +134,11 @@ def model_config() -> ml_collections.ConfigDict:
             },
             'diffusion_seq': {
                 'enabled': True,
-                'config': {'ratio_eps': 1e-9, 'nll_weight': 1},
+                # exact_elbo switches the surrogate CE to the exact
+                # tau-leaping CTMC ELBO (Campbell et al.; losses.py
+                # ctmc_elbo_terms) built from q_t0/rate_t/seq_xt.
+                'config': {'ratio_eps': 1e-9, 'nll_weight': 1,
+                           'exact_elbo': False},
                 'weight': 0.2,
             },
             'folding': {
@@ -180,6 +184,9 @@ def model_config() -> ml_collections.ConfigDict:
             'max_antigen_len': 32,
             'patch_radius': 16.0,
             'anchor_neighbors': 5,
+            # eval-time parity with the reference's seeded random antigen
+            # window (dataset.py:469-495); default deterministic center.
+            'parity_random_antigen_window': False,
         },
     }
     return ml_collections.ConfigDict(cfg)

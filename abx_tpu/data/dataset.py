@@ -357,6 +357,11 @@ class DataConfig:
     max_antigen_len: int = 32
     patch_radius: float = 16.0
     anchor_neighbors: int = 5
+    # Parity flag: the reference picks a SEEDED RANDOM antigen window at
+    # eval too (dataset.py:469-495); we default to the deterministic center
+    # (reproducible eval) and enable this for distribution-level comparisons
+    # against reference outputs.
+    parity_random_antigen_window: bool = False
 
 
 def prepare_example(example: Dict, cfg: DataConfig,
@@ -370,7 +375,10 @@ def prepare_example(example: Dict, cfg: DataConfig,
                              is_training)
     if renamed is None:
         return None
-    renamed = antigen_window(renamed, cfg.max_antigen_len, is_training, rng)
+    random_window = is_training or getattr(
+        cfg, 'parity_random_antigen_window', False)
+    renamed = antigen_window(renamed, cfg.max_antigen_len, random_window,
+                             rng)
     return pad_example(renamed, cfg.max_antibody_len, cfg.max_antigen_len)
 
 

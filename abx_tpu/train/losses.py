@@ -115,10 +115,91 @@ def diffusion_seq_loss(batch: Dict, seq_head: Dict, cfg: Any) -> Dict:
     elbo_weight = jax.lax.stop_gradient(1.0 - keep_prob + cfg.ratio_eps)
     elbo_term = elbo_weight * nll
 
+    if cfg.get('exact_elbo', False) and 'rate_t' in batch \
+            and 'seq_xt' in batch:
+        elbo = ctmc_elbo_terms(batch, log_p, cfg.ratio_eps)
+        loss = elbo['elbo'] + cfg.nll_weight * masked_mean(diffuse_mask, nll)
+        aar = masked_mean(
+            diffuse_mask,
+            (jnp.argmax(logits, -1) == seq_0).astype(jnp.float32))
+        return {'loss': loss, 'aar': aar, 'elbo': elbo['elbo'],
+                'elbo_norm': elbo['normalizer'], 'elbo_jump': elbo['jump']}
+
     loss = masked_mean(diffuse_mask, elbo_term + cfg.nll_weight * nll)
     aar = masked_mean(diffuse_mask,
                       (jnp.argmax(logits, -1) == seq_0).astype(jnp.float32))
     return {'loss': loss, 'aar': aar}
+
+
+def ctmc_elbo_terms(batch: Dict, log_p, eps: float) -> Dict:
+    """Exact tau-leaping CTMC negative-ELBO terms (Campbell et al. 2022).
+
+    The continuous-time term of the discrete-diffusion ELBO is
+        E_t E_{x_t} [ sum_{y != x} Rhat_t(x, y)
+                      - sum_{y != x} R_t(x, y) log Rhat_t(y, x) ]
+    with reverse rate
+        Rhat_t(x, y) = R_t(y, x) * sum_{x0} q_{t|0}(y|x0) p(x0|x)
+                                            / q_{t|0}(x|x0).
+    The second expectation is estimated with the single auxiliary jump the
+    forward noising emits (reference discrete_diffuser.py:72-127): x_tilde
+    differs from x_t at one site sampled proportional to the forward rates,
+    so  sum_{y} R(x_t, y) log Rhat(y, x_t)
+      = Z(x_t) * E_{x_tilde}[ log Rhat(x_tilde, x_t) ],
+    Z = total forward outflow.  The model is evaluated at x_tilde (the
+    network input seq_t IS x_tilde — tauLDR one-forward-pass scheme), which
+    both terms use as their p(x0 | .) point.
+
+    Normalisation: both terms are divided by the number of diffused sites
+    so the magnitude is comparable to the per-site surrogate CE.
+    """
+    diffuse_mask = ((1 - batch['fixed_mask']) * batch['mask']).astype(
+        jnp.float32)
+    x_tilde = jnp.clip(batch['seq_t'].astype(jnp.int32), 0,
+                       log_p.shape[-1] - 1)
+    x_t = jnp.clip(batch['seq_xt'].astype(jnp.int32), 0,
+                   log_p.shape[-1] - 1)
+    qt0 = batch['q_t0']          # (B, S, S): q_{t|0}[x0, x_t]
+    rate = batch['rate_t']       # (B, S, S)
+    p0t = jnp.exp(log_p)         # (B, D, S): p(x0 | x_tilde)
+    b, d_sites, s = p0t.shape
+
+    # ---- normaliser term: sum_y Rhat(x_tilde -> y) per diffused site.
+    # qt0_denom[b,d,x0] = q(x_tilde_d | x0); forward_rates[b,d,y] =
+    # R(y -> x_tilde_d) (rate is symmetric for the uniform CTMC but keep
+    # the general orientation).
+    qt0_denom = jnp.swapaxes(jnp.take_along_axis(
+        qt0, x_tilde[:, None, :], axis=2), 1, 2) + eps       # (B, D, S)
+    forward_rates = jnp.swapaxes(jnp.take_along_axis(
+        rate, x_tilde[:, None, :], axis=2), 1, 2)            # (B, D, S)
+    inner = jnp.einsum('bds,bsy->bdy', p0t / qt0_denom, qt0)
+    rhat = forward_rates * inner                             # (B, D, S)
+    rhat = rhat * (1.0 - jax.nn.one_hot(x_tilde, s))
+    normalizer = masked_mean(diffuse_mask, jnp.sum(rhat, axis=-1))
+
+    # ---- jump term: Z(x_t) * log Rhat(x_tilde -> x_t) at the corrupted
+    # site sigma (zero when masking reverted the corruption).
+    differs = (x_tilde != x_t).astype(jnp.float32) * diffuse_mask
+    has_jump = jnp.max(differs, axis=-1)                     # (B,)
+    sigma = jnp.argmax(differs, axis=-1)                     # (B,)
+    bi = jnp.arange(b)
+    m = x_t[bi, sigma]           # target state of the reverse jump
+    n_til = x_tilde[bi, sigma]   # current (corrupted) state
+    # log Rhat(x_tilde -> x_t)|sigma
+    #   = log [ R(m -> n_til) * sum_x0 q(m|x0) p(x0|x_tilde_sigma)/q(n|x0) ]
+    p_sigma = p0t[bi, sigma]                                 # (B, S)
+    ratio = qt0[bi, :, m] / (qt0[bi, :, n_til] + eps)        # (B, S)
+    rev_jump = rate[bi, m, n_til] * jnp.sum(p_sigma * ratio, axis=-1)
+    log_rev = jnp.log(rev_jump + eps)
+    # Z(x_t): total forward outflow from x_t over diffused sites.
+    # rate_out[b,d,y] = R(x_t[b,d] -> y).
+    rate_out = jnp.take_along_axis(rate, x_t[:, :, None], axis=1)
+    rate_out = rate_out * (1.0 - jax.nn.one_hot(x_t, s))
+    z_total = jnp.sum(jnp.sum(rate_out, -1) * diffuse_mask, axis=-1)
+    n_sites = jnp.sum(diffuse_mask, axis=-1) + 1e-6
+    jump = jnp.mean(has_jump * z_total * log_rev / n_sites)
+
+    return {'elbo': normalizer - jump, 'normalizer': normalizer,
+            'jump': jump}
 
 
 def backbone_fape(pred_frames: Rigid, gt_frames: Rigid, frames_mask,

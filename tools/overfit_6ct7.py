@@ -1,0 +1,115 @@
+"""Trainer validation: overfit the flagship model on one complex (6ct7).
+
+VERDICT round-1 item 5: prove the reconstructed loss stack actually trains —
+overfit H3 design on 6ct7_H_L_S until the sampled H3 RMSD/AAR on the
+training complex is good, with EMA evaluation and cosine LR decay.
+
+Artifacts (committed): runs/overfit_6ct7/metrics.csv (training curve),
+runs/overfit_6ct7/result.json (end-state sampled H3 RMSD/AAR).
+
+    python tools/overfit_6ct7.py [--steps 2500] [--batch 2] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=2500)
+    p.add_argument('--batch', type=int, default=2)
+    p.add_argument('--num_samples', type=int, default=4)
+    p.add_argument('--num_t', type=int, default=50)
+    p.add_argument('--lr', type=float, default=5e-4)
+    p.add_argument('--tiny', action='store_true')
+    p.add_argument('--platform', type=str, default=None)
+    p.add_argument('--out', type=str,
+                   default=os.path.join(REPO, 'runs', 'overfit_6ct7'))
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+
+    from abx_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
+    from abx_tpu.cli import runner
+    from abx_tpu.data import dataset as ds
+    from abx_tpu.evaluation import metrics as eval_metrics
+    from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+    from abx_tpu.train.trainer import TrainConfig, Trainer
+    from abx_tpu.utils import checkpoint as ckpt_lib
+
+    os.makedirs(args.out, exist_ok=True)
+    rt = runner.build_runtime(None, None, tiny=args.tiny, seed=0)
+
+    pdb = os.path.join(REPO, 'testdata', '6ct7_H_L_S.pdb')
+    ex = ds.complex_from_pdb(pdb, 'H', 'L', ['S'])
+    feats, _ = ds.prepare_example(ex, rt.data_config)
+    batch = {k: np.repeat(v[None], args.batch, axis=0)
+             for k, v in feats.items()}
+
+    def data_iter():
+        while True:
+            yield dict(batch)
+
+    trainer = Trainer(
+        rt.model, rt.diffuser, rt.config.model, rt.config.loss,
+        TrainConfig(learning_rate=args.lr, warmup_steps=100,
+                    decay_steps=max(args.steps - 100, 1),
+                    generate_area='H3', log_every=50, ema_decay=0.999,
+                    checkpoint_every=args.steps))
+    state = trainer.init_state(rt.params)
+    state = trainer.fit(
+        state, data_iter(), args.steps, jax.random.PRNGKey(0),
+        checkpoint_path=os.path.join(args.out, 'params.msgpack'),
+        metrics_path=os.path.join(args.out, 'metrics.csv'))
+
+    # ---- EMA-eval: sample H3 designs on the training complex.
+    ema = {'params': state.get('ema_params', state['params'])['params']}
+    scfg = SamplerConfig(num_t=args.num_t, mode='design', generate_area='H3')
+    sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                      esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+    sfeats = {k: np.repeat(v[None], args.num_samples, axis=0)
+              for k, v in feats.items()}
+    out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
+
+    gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
+    mask = np.asarray(out['diffuse_mask'][0]) > 0
+    gt_seq = np.asarray(feats['seq'])
+    rows = []
+    for i in range(args.num_samples):
+        pred_ca = np.asarray(out['atom14'][i, :, 1])
+        # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
+        rmsd = float(np.sqrt(np.mean(np.sum(
+            (pred_ca[mask] - gt_ca[mask]) ** 2, -1))))
+        aar = float(np.mean(
+            np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
+        rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
+        print(f'sample {i}: H3 rmsd={rmsd:.3f} A  aar={aar:.3f}')
+
+    result = {
+        'steps': args.steps,
+        'h3_rmsd_best': min(r['h3_rmsd'] for r in rows),
+        'h3_rmsd_mean': float(np.mean([r['h3_rmsd'] for r in rows])),
+        'h3_aar_best': max(r['h3_aar'] for r in rows),
+        'h3_aar_mean': float(np.mean([r['h3_aar'] for r in rows])),
+        'samples': rows,
+        'tiny': args.tiny,
+    }
+    with open(os.path.join(args.out, 'result.json'), 'w') as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != 'samples'}))
+
+
+if __name__ == '__main__':
+    main()
