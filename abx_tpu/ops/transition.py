@@ -44,7 +44,7 @@ def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=('row_block', 'residual',
                                              'eps', 'interpret'))
-def fused_transition(x, scale, bias, w1, b1, w2, b2, row_block: int = 8,
+def fused_transition(x, scale, bias, w1, b1, w2, b2, row_block=None,
                      residual: bool = True, eps: float = 1e-5,
                      interpret: bool = False):
     """LayerNorm -> Linear(C, N) -> relu -> Linear(N, C) [-> + x].
@@ -57,6 +57,10 @@ def fused_transition(x, scale, bias, w1, b1, w2, b2, row_block: int = 8,
     """
     b, r, l, c = x.shape
     n = w1.shape[-1]
+    if row_block is None:
+        # Keep the f32 working set (x + LN + 4C intermediate + out) inside
+        # the ~16 MB scoped-VMEM budget.
+        row_block = 8 if x.dtype == jnp.bfloat16 else 4
     rpad = (-r) % row_block
     if rpad:
         x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])

@@ -145,7 +145,7 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('row_block', 'interpret'))
-def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block: int = 8,
+def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
                               interpret: bool = False):
     """Layout-native fused triangle attention: projection + attention.
 
@@ -167,6 +167,10 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block: int = 8,
     h = bias.shape[1]
     d = wq.shape[-1] // h
     scale = d ** -0.5
+    if row_block is None:
+        # Scoped VMEM is ~16 MB on v5e; the f32 working set at RB=8
+        # (x + per-head q/k/v/logits/probs + out accumulator) exceeds it.
+        row_block = 8 if x.dtype == jnp.bfloat16 else 4
     rpad = (-r) % row_block
     if rpad:
         x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
