@@ -30,6 +30,9 @@ def main():
     p.add_argument('--optimize_steps', type=int, nargs='+',
                    default=[4, 8, 16, 32, 64])
     p.add_argument('--batch_samples', type=int, default=None)
+    p.add_argument('--use_seqres', action='store_true',
+                   help='re-index chains onto SEQRES records so missing-'
+                        'density residues keep their true positions')
     p.add_argument('--seed', type=int, default=42)
     p.add_argument('--tiny', action='store_true',
                    help='tiny random model (smoke runs)')
@@ -55,7 +58,8 @@ def main():
     rt = runner.build_runtime(args.model_config, args.model, tiny=args.tiny,
                               seed=args.seed, bf16=args.bf16,
                               esm_checkpoint=args.esm_checkpoint)
-    complexes = runner.load_complexes(None, None, args.pdb_file, rt)
+    complexes = runner.load_complexes(None, None, args.pdb_file, rt,
+                                      use_seqres=args.use_seqres)
     out_dir = os.path.join(args.output_dir, args.mode)
     runner.run_sampling(
         rt, out_dir, args.mode, complexes, num_samples=args.num_samples,

@@ -211,14 +211,15 @@ def _random_init(model, cfg, diffuser, seed: int):
 
 def load_complexes(data_dir: Optional[str], name_idx: Optional[Sequence[str]],
                    pdb_file: Optional[str], runtime: Runtime,
-                   is_training: bool = False):
+                   is_training: bool = False, use_seqres: bool = False):
     """Yield (feats, meta) for each requested complex."""
     if pdb_file:
         name = os.path.splitext(os.path.basename(pdb_file))[0]
         parts = name.split('_')
         heavy, light = parts[1], parts[2]
         antigens = parts[3].split('|') if len(parts) > 3 else []
-        ex = ds.complex_from_pdb(pdb_file, heavy, light, antigens)
+        ex = ds.complex_from_pdb(pdb_file, heavy, light, antigens,
+                                 use_seqres=use_seqres)
         prep = ds.prepare_example(ex, runtime.data_config, is_training)
         if prep is not None:
             yield prep

@@ -102,34 +102,79 @@ def _apply_rotary(x, cos, sin):
     return x * cos[None, None] + _rotate_half(x) * sin[None, None]
 
 
+class _DenseParams(nn.Module):
+    """fair-esm-compatible Dense params without the matmul (for fusion)."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('kernel', nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param('bias', nn.initializers.zeros, (self.features,)))
+
+
+def _esm_flash_attention(q, k, v, padding_mask):
+    """Stock Pallas TPU flash attention with padding via segment ids.
+
+    The XLA einsum path materialises f32 logits (B, 40, L, L) per layer —
+    ~60 MB/layer at B=4, streamed 36 times per ESM pass, 3 passes per
+    diffusion step.  Pad tokens get segment id 0 (valid tokens 1), which
+    reproduces the additive -inf key mask for every valid query; outputs at
+    pad positions are garbage and are zeroed downstream
+    (extract_antibody_reprs).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    b, h, l, d = q.shape
+    lp = -(-l // 128) * 128
+    pad4 = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+    q, k, v = (jnp.pad(t, pad4) for t in (q, k, v))
+    seg = jnp.pad(1 - padding_mask.astype(jnp.int32),
+                  [(0, 0), (0, lp - l)])
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128, block_b=1)
+    out = flash_attention(q, k, v,
+                          segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=False, sm_scale=1.0, block_sizes=bs)
+    return out[:, :, :l]
+
+
 class ESMSelfAttention(nn.Module):
     config: ESM2Config
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask):
+        from abx_tpu.ops.registry import use_flash_esm
         c = self.config
         d = c.embed_dim
         h = c.attention_heads
         dh = d // h
         b, l, _ = x.shape
 
-        def proj(name):
-            return nn.Dense(d, dtype=self.dtype, name=name)
-
-        q = proj('q_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-        k = proj('k_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-        v = proj('v_proj')(x).reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        # q/k/v read the same input: one matmul (param tree unchanged).
+        from abx_tpu.models.modules import fused_dense
+        branches = [_DenseParams(d, d, name='q_proj')(),
+                    _DenseParams(d, d, name='k_proj')(),
+                    _DenseParams(d, d, name='v_proj')()]
+        q, k, v = fused_dense(x, branches, self.dtype)
+        q = q.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
 
         cos, sin = _rotary_sincos(l, dh, dtype=self.dtype)
         q = _apply_rotary(q, cos, sin)
         k = _apply_rotary(k, cos, sin)
 
         q = q * (dh ** -0.5)
-        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k)
-        neg = (padding_mask[:, None, None, :]).astype(jnp.float32) * -1e9
-        weights = jax.nn.softmax(logits.astype(jnp.float32) + neg, axis=-1)
-        out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(self.dtype), v)
+        if use_flash_esm() and jax.default_backend() == 'tpu':
+            out = _esm_flash_attention(q, k, v, padding_mask)
+        else:
+            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+            neg = (padding_mask[:, None, None, :]).astype(jnp.float32) * -1e9
+            weights = jax.nn.softmax(logits.astype(jnp.float32) + neg,
+                                     axis=-1)
+            out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(self.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         return nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
 

@@ -252,48 +252,68 @@ class TriangleMultiplication(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, act, mask):
+    def __call__(self, act, mask, residual: bool = False):
+        """Triangle multiplication; `residual=True` folds the +act into the
+        fused post-kernel (inference path)."""
+        from abx_tpu.models.modules import LayerNormParams, layer_norm
+        from abx_tpu.ops.registry import (use_fused_trimult,
+                                          use_pallas_triangle)
+        from abx_tpu.ops.triangle import triangle_multiply
         c = self.config
         num_in = act.shape[-1]
-        pair_mask = (mask[:, :, None, None] * mask[:, None, :, None]).astype(
-            self.dtype)
-        act = LayerNorm(dtype=self.dtype, name='norm')(act)
-
         nc = c.num_intermediate_channel
-        c_in = act.shape[-1]
+        per_row = c.orientation == 'per_row'
+
+        scale, ln_bias = LayerNormParams(num_in, name='norm')()
         # left/right projections, their gates, and the final gate all read
         # the post-LN activations: one (B, L, L, C) read feeding one matmul
         # instead of five (the pair track is the HBM-bandwidth hot spot).
         branches = [
-            LinearParams(nc, c_in, init='linear', name='left_proj')(),
-            LinearParams(nc, c_in, init='linear', name='right_proj')(),
+            LinearParams(nc, num_in, init='linear', name='left_proj')(),
+            LinearParams(nc, num_in, init='linear', name='right_proj')(),
         ]
         if c.gating:
             branches += [
-                LinearParams(nc, c_in, init='gate', name='left_gate')(),
-                LinearParams(nc, c_in, init='gate', name='right_gate')(),
-                LinearParams(num_in, c_in, init='gate', name='final_gate')(),
+                LinearParams(nc, num_in, init='gate', name='left_gate')(),
+                LinearParams(nc, num_in, init='gate', name='right_gate')(),
+                LinearParams(num_in, num_in, init='gate',
+                             name='final_gate')(),
             ]
-            left, right, lg, rg, fg = fused_dense(act, branches, self.dtype)
+        fscale, fbias = LayerNormParams(nc, name='final_norm')()
+        wout, bout = LinearParams(num_in, nc, init='final',
+                                  name='proj_out')()
+
+        if (residual and c.gating and act.ndim == 4
+                and jax.default_backend() == 'tpu' and use_fused_trimult()):
+            from abx_tpu.ops.tri_mult import tri_mult_post, tri_mult_pre
+            w = jnp.concatenate([k for k, _ in branches], axis=-1)
+            wb = jnp.concatenate([b for _, b in branches])
+            left, right, fg = tri_mult_pre(act, scale, ln_bias, w, wb, mask)
+            out = triangle_multiply(left, right, per_row=per_row,
+                                    use_pallas=use_pallas_triangle())
+            return tri_mult_post(out, fscale, fbias, wout, bout, fg, act)
+
+        pair_mask = (mask[:, :, None, None]
+                     * mask[:, None, :, None]).astype(self.dtype)
+        x = layer_norm(act, scale, ln_bias, dtype=self.dtype)
+        if c.gating:
+            left, right, lg, rg, fg = fused_dense(x, branches, self.dtype)
             left = left * nn.sigmoid(lg)
             right = right * nn.sigmoid(rg)
         else:
-            left, right = fused_dense(act, branches, self.dtype)
+            left, right = fused_dense(x, branches, self.dtype)
         left = left * pair_mask
         right = right * pair_mask
 
-        from abx_tpu.ops.registry import use_pallas_triangle
-        from abx_tpu.ops.triangle import triangle_multiply
-        out = triangle_multiply(left, right,
-                                per_row=(c.orientation == 'per_row'),
+        out = triangle_multiply(left, right, per_row=per_row,
                                 use_pallas=use_pallas_triangle())
 
-        out = LayerNorm(dtype=self.dtype, name='final_norm')(out)
-        out = Linear(num_in, init='final', dtype=self.dtype,
-                     name='proj_out')(out)
+        out = layer_norm(out, fscale, fbias, dtype=self.dtype)
+        out = (jnp.dot(out.astype(self.dtype), wout.astype(self.dtype))
+               + bout.astype(self.dtype))
         if c.gating:
             out = out * nn.sigmoid(fg)
-        return out
+        return act + out if residual else out
 
 
 class TriangleAttention(nn.Module):
@@ -353,16 +373,24 @@ class SeqformerIteration(nn.Module):
         pair_act = pair_act + OuterProductMean(
             c.outer_product_mean, pair_act.shape[-1], dtype=self.dtype,
             name='outer_product_mean')(seq_act, seq_mask)
-        pair_act = pair_act + dropout_fn(
-            TriangleMultiplication(c.triangle_multiplication_outgoing,
-                                   dtype=self.dtype, name='tri_mul_out')(
-                pair_act, seq_mask),
-            c.triangle_multiplication_outgoing)
-        pair_act = pair_act + dropout_fn(
-            TriangleMultiplication(c.triangle_multiplication_incoming,
-                                   dtype=self.dtype, name='tri_mul_in')(
-                pair_act, seq_mask),
-            c.triangle_multiplication_incoming)
+        # Inference folds the residual add into the fused tri-mult post
+        # kernel; training keeps the delta form for shared dropout.
+        tri_out = TriangleMultiplication(
+            c.triangle_multiplication_outgoing, dtype=self.dtype,
+            name='tri_mul_out')
+        tri_in = TriangleMultiplication(
+            c.triangle_multiplication_incoming, dtype=self.dtype,
+            name='tri_mul_in')
+        if deterministic:
+            pair_act = tri_out(pair_act, seq_mask, residual=True)
+            pair_act = tri_in(pair_act, seq_mask, residual=True)
+        else:
+            pair_act = pair_act + dropout_fn(
+                tri_out(pair_act, seq_mask),
+                c.triangle_multiplication_outgoing)
+            pair_act = pair_act + dropout_fn(
+                tri_in(pair_act, seq_mask),
+                c.triangle_multiplication_incoming)
         pair_act = pair_act + dropout_fn(
             TriangleAttention(c.triangle_attention_starting_node,
                               dtype=self.dtype, name='tri_attn_start')(

@@ -29,3 +29,19 @@ def use_fused_transition() -> bool:
 
     Inference-only (no custom VJP); TPU backend only."""
     return os.environ.get('ABX_FUSED_TRANSITION', '1') == '1'
+
+
+def use_flash_esm() -> bool:
+    """Pallas flash attention for the ESM2 conditioning path (TPU only).
+
+    Default OFF: measured SLOWER than the XLA einsum path at this workload
+    (B=4, L=306 padded to 384, 40 heads x 64: 11.1 vs 13.8 steps/s ESM-on)
+    — the antibody context is short enough that logits fit comfortably and
+    the flash kernel's padding + per-block overhead dominates.  Revisit for
+    long-antigen configurations (L >= 1k)."""
+    return os.environ.get('ABX_FLASH_ESM', '0') == '1'
+
+
+def use_fused_trimult() -> bool:
+    """Fused triangle-multiplication pre/post blocks (inference, TPU)."""
+    return os.environ.get('ABX_FUSED_TRIMULT', '1') == '1'

@@ -1,0 +1,186 @@
+"""Pallas TPU kernels: fused triangle-multiplication pre/post blocks.
+
+TriangleMultiplication (reference seqformer.py:413-504) brackets its
+O(L^3 C) contraction with two HBM-bound stretches on the (B, L, L, C) pair
+track:
+
+  pre:  LayerNorm -> five same-input projections (left/right + their gates
+        + the final gate) -> sigmoid-gating + pair-mask multiplies
+  post: LayerNorm -> C_int -> C projection -> * sigmoid(final gate)
+        -> + residual
+
+Under XLA each stretch makes 4-5 full traversals of the pair track.  These
+kernels do each in ONE VMEM pass.  The projections slice the fused weight
+matrix at 128-aligned column offsets (left|right|left_gate|right_gate|
+final_gate), so every in-kernel slice is lane-tile aligned.
+
+Inference-only (no custom VJP); the module keeps a differentiable
+functional path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _ln(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True)
+                      - mean * mean, 0.0)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
+                left_ref, right_ref, fg_ref, *, eps: float, nc: int):
+    x = x_ref[0]                                   # (RB, L, C)
+    ln = _ln(x, s_ref[0], b_ref[0], eps).astype(x.dtype)
+    dims = (((2,), (0,)), ((), ()))
+    y = jax.lax.dot_general(ln, w_ref[...], dims,
+                            preferred_element_type=jnp.float32)
+    y = y + wb_ref[0]                              # (RB, L, 4*nc + C)
+    # mrow: (RB, 1), mcol: (1, L) -> pair mask (RB, L, 1).
+    pm = (mrow_ref[0] * mcol_ref[0])[..., None]
+    left = y[..., :nc] * jax.nn.sigmoid(y[..., 2 * nc:3 * nc]) * pm
+    right = y[..., nc:2 * nc] * jax.nn.sigmoid(y[..., 3 * nc:4 * nc]) * pm
+    left_ref[0] = left.astype(left_ref.dtype)
+    right_ref[0] = right.astype(right_ref.dtype)
+    fg_ref[0] = y[..., 4 * nc:].astype(fg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('row_block', 'eps',
+                                             'interpret'))
+def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
+                 eps: float = 1e-5, interpret: bool = False):
+    """LN -> fused [left|right|lgate|rgate|fgate] projection -> gating/mask.
+
+    Args:
+        x: (B, R, L, C) pair activations (R == L).
+        scale, bias: (C,) LayerNorm params.
+        w: (C, 4*nc + C) fused kernel, wb: matching bias.
+        mask: (B, L) sequence mask.
+    Returns: (left, right) each (B, R, L, nc) gated+masked, and
+        fg (B, R, L, C) PRE-sigmoid final-gate activations.
+    """
+    b, r, l, c = x.shape
+    nc = (w.shape[-1] - c) // 4
+    if row_block is None:
+        row_block = 8 if x.dtype == jnp.bfloat16 else 4
+    rpad = (-r) % row_block
+    if rpad:
+        x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
+        # padded rows are masked out by mrow below
+    rp = x.shape[1]
+    dt = x.dtype
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    # Masks as 3-D so the tiled (last two) dims satisfy Mosaic block rules:
+    # rows (B, R, 1) blocked (row_block, 1); cols (B, 1, L) full.
+    mrow = jnp.pad(mask, [(0, 0), (0, rpad)]).astype(jnp.float32)[..., None]
+    mcol = mask.astype(jnp.float32)[:, None, :]
+
+    grid = (b, rp // row_block)
+    x_spec = pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
+    out = pl.pallas_call(
+        functools.partial(_pre_kernel, eps=eps, nc=nc),
+        grid=grid,
+        in_specs=[
+            x_spec, const((1, c)), const((1, c)),
+            const((c, w.shape[-1])), const((1, w.shape[-1])),
+            pl.BlockSpec((1, row_block, 1), lambda bb, rr: (bb, rr, 0)),
+            pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, row_block, l, nc),
+                         lambda bb, rr: (bb, rr, 0, 0)),
+            pl.BlockSpec((1, row_block, l, nc),
+                         lambda bb, rr: (bb, rr, 0, 0)),
+            pl.BlockSpec((1, row_block, l, c),
+                         lambda bb, rr: (bb, rr, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rp, l, nc), dt),
+            jax.ShapeDtypeStruct((b, rp, l, nc), dt),
+            jax.ShapeDtypeStruct((b, rp, l, c), dt),
+        ],
+        interpret=interpret,
+    )(x, row(scale), row(bias), w.astype(dt), row(wb), mrow, mcol)
+    left, right, fg = out
+    return left[:, :r], right[:, :r], fg[:, :r]
+
+
+def _post_kernel(y_ref, s_ref, b_ref, w_ref, wb_ref, fg_ref, res_ref,
+                 out_ref, *, eps: float):
+    y = y_ref[0]                                   # (RB, L, nc)
+    ln = _ln(y, s_ref[0], b_ref[0], eps).astype(y.dtype)
+    dims = (((2,), (0,)), ((), ()))
+    o = jax.lax.dot_general(ln, w_ref[...], dims,
+                            preferred_element_type=jnp.float32)
+    o = o + wb_ref[0]
+    o = o * jax.nn.sigmoid(fg_ref[0].astype(jnp.float32))
+    out_ref[0] = (o + res_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('row_block', 'eps',
+                                             'interpret'))
+def tri_mult_post(y, scale, bias, w, wb, fg, res, row_block=None,
+                  eps: float = 1e-5, interpret: bool = False):
+    """LN -> Linear(nc, C) -> * sigmoid(fg) -> + res, one VMEM pass.
+
+    Args:
+        y: (B, R, L, nc) triangle contraction output.
+        w: (nc, C), wb: (C,).
+        fg: (B, R, L, C) pre-sigmoid final gate.  res: (B, R, L, C).
+    Returns: (B, R, L, C), dtype of res.
+    """
+    b, r, l, nc = y.shape
+    c = w.shape[-1]
+    if row_block is None:
+        row_block = 8 if y.dtype == jnp.bfloat16 else 4
+    rpad = (-r) % row_block
+    if rpad:
+        pad4 = [(0, 0), (0, rpad), (0, 0), (0, 0)]
+        y, fg, res = (jnp.pad(t, pad4) for t in (y, fg, res))
+    rp = y.shape[1]
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    grid = (b, rp // row_block)
+    spec = lambda ch: pl.BlockSpec((1, row_block, l, ch),
+                                   lambda bb, rr: (bb, rr, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
+    out = pl.pallas_call(
+        functools.partial(_post_kernel, eps=eps),
+        grid=grid,
+        in_specs=[spec(nc), const((1, nc)), const((1, nc)),
+                  const((nc, c)), const((1, c)), spec(c), spec(c)],
+        out_specs=spec(c),
+        out_shape=jax.ShapeDtypeStruct((b, rp, l, c), res.dtype),
+        interpret=interpret,
+    )(y, row(scale), row(bias), w.astype(y.dtype), row(wb), fg, res)
+    return out[:, :r]
+
+
+def tri_mult_pre_reference(x, scale, bias, w, wb, mask, eps: float = 1e-5):
+    """Plain-XLA semantics twin of tri_mult_pre."""
+    c = x.shape[-1]
+    nc = (w.shape[-1] - c) // 4
+    ln = _ln(x, scale, bias, eps).astype(x.dtype)
+    y = (jnp.dot(ln, w.astype(x.dtype)).astype(jnp.float32) + wb)
+    pm = (mask[:, :, None] * mask[:, None, :])[..., None]
+    left = y[..., :nc] * jax.nn.sigmoid(y[..., 2 * nc:3 * nc]) * pm
+    right = y[..., nc:2 * nc] * jax.nn.sigmoid(y[..., 3 * nc:4 * nc]) * pm
+    return (left.astype(x.dtype), right.astype(x.dtype),
+            y[..., 4 * nc:].astype(x.dtype))
+
+
+def tri_mult_post_reference(y, scale, bias, w, wb, fg, res,
+                            eps: float = 1e-5):
+    """Plain-XLA semantics twin of tri_mult_post."""
+    ln = _ln(y, scale, bias, eps).astype(y.dtype)
+    o = jnp.dot(ln, w.astype(y.dtype)).astype(jnp.float32) + wb
+    o = o * jax.nn.sigmoid(fg.astype(jnp.float32))
+    return (o + res.astype(jnp.float32)).astype(res.dtype)

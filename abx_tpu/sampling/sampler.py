@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -136,7 +137,12 @@ class Sampler:
             return forward_with_recycling(single, batch, num_recycle,
                                           prev_pos_cfg)
 
-        def run(params, esm_params, feats, key):
+        def init(params, feats, key):
+            """Feature prep + initial scan state (shared by run/resumable).
+
+            Returns (state, static, static_acts, diffuse_mask, k_scan);
+            `static` is the per-trajectory constant feature dict, and
+            static_acts the hoisted trajectory-invariant embeddings."""
             k_init, k_scan = jax.random.split(key)
             batch = self.prepare(k_init, feats)
             b, l = batch['seq'].shape
@@ -162,6 +168,10 @@ class Sampler:
             # EmbeddingAndSeqformer.static_embeddings).
             static_acts = model.apply(params, batch,
                                       method='static_embeddings')
+            return state, static, static_acts, diffuse_mask, k_scan
+
+        def make_step(params, esm_params, static, static_acts, diffuse_mask):
+            """The per-diffusion-step function for lax.scan."""
 
             def model_batch(state, t):
                 mb = dict(static)
@@ -171,21 +181,6 @@ class Sampler:
                 mb['prev_seq'] = state['prev_seq']
                 mb['prev_pair'] = state['prev_pair']
                 return set_t_feats(mb, t)
-
-            # Self-conditioning prime (inference.py:209-211) is folded into
-            # the scan as an extra leading step flagged `is_prime`: it runs
-            # the same trunk+heads but only updates the prev_* features —
-            # keeping exactly one trunk trace in the whole program.
-            if c.self_conditioning and self.reverse_steps.shape[0] > 0:
-                ts = jnp.concatenate(
-                    [self.reverse_steps[:1], self.reverse_steps])
-                ts_model = jnp.concatenate(
-                    [self.model_steps[:1], self.model_steps])
-                is_prime = jnp.zeros_like(ts).at[0].set(1.0)
-            else:
-                ts = self.reverse_steps
-                ts_model = self.model_steps
-                is_prime = jnp.zeros_like(ts)
 
             def step(carry, xs):
                 t, t_model, prime = xs
@@ -233,6 +228,14 @@ class Sampler:
                 }
                 return (new_state, key), step_out
 
+            return step
+
+        def run(params, esm_params, feats, key):
+            state, static, static_acts, diffuse_mask, k_scan = init(
+                params, feats, key)
+            ts, ts_model, is_prime = self._step_grids()
+            step = make_step(params, esm_params, static, static_acts,
+                             diffuse_mask)
             (final_state, _), steps_out = jax.lax.scan(
                 step, (state, k_scan), (ts, ts_model, is_prime))
             if c.self_conditioning and self.reverse_steps.shape[0] > 0:
@@ -246,15 +249,109 @@ class Sampler:
                 'atom14': last['atom14'],
                 'plddt': last['plddt'],
                 'diffuse_mask': diffuse_mask,
-                'gt_atom14': batch['atom14_gt_positions'],
+                'gt_atom14': static['atom14_gt_positions'],
             }
             if c.collect_trajectory:
                 result['trajectory'] = steps_out
             return result
 
+        def run_chunk(params, esm_params, static, static_acts, diffuse_mask,
+                      state, key, xs):
+            """Scan `step` over a CHUNK of the reverse grid (resumable)."""
+            step = make_step(params, esm_params, static, static_acts,
+                             diffuse_mask)
+            (state, key), steps_out = jax.lax.scan(step, (state, key), xs)
+            return state, key, steps_out
+
+        self._init = jax.jit(init)
+        self._run_chunk = jax.jit(run_chunk)
         return run
+
+    def _step_grids(self):
+        """(ts, ts_model, is_prime): the reverse grid with the
+        self-conditioning prime step folded in as a leading flagged step
+        (inference.py:209-211) — one trunk trace in the whole program."""
+        c = self.config
+        if c.self_conditioning and self.reverse_steps.shape[0] > 0:
+            ts = jnp.concatenate([self.reverse_steps[:1],
+                                  self.reverse_steps])
+            ts_model = jnp.concatenate([self.model_steps[:1],
+                                        self.model_steps])
+            is_prime = jnp.zeros_like(ts).at[0].set(1.0)
+        else:
+            ts = self.reverse_steps
+            ts_model = self.model_steps
+            is_prime = jnp.zeros_like(ts)
+        return ts, ts_model, is_prime
 
     def sample(self, params, feats: Dict[str, jnp.ndarray], key
                ) -> Dict[str, jnp.ndarray]:
         """Run the full reverse process for one (batched) feature dict."""
         return self._run(params, self.esm_params, feats, key)
+
+    # -- mid-trajectory checkpoint / resume ---------------------------------
+    def sample_resumable(self, params, feats, key, chunk_steps: int = 20,
+                         state_path: Optional[str] = None
+                         ) -> Dict[str, jnp.ndarray]:
+        """Like `sample`, but the scan runs in chunks with the sampler state
+        (rigids_t / seq_t / prev_* / RNG key) checkpointed to `state_path`
+        between chunks — a killed process resumes mid-trajectory instead of
+        restarting the 100-step design (ROADMAP backlog item; the reference
+        has no resume at all, SURVEY.md §5).
+
+        Determinism: identical inputs produce bitwise-identical results to
+        `sample` up to chunked-scan compilation differences; the RNG chain
+        is part of the saved state.
+        """
+        import numpy as onp
+        c = self.config
+        state, static, static_acts, diffuse_mask, k_scan = self._init(
+            params, feats, key)
+        ts, ts_model, is_prime = self._step_grids()
+        n = int(ts.shape[0])
+
+        start = 0
+        if state_path and os.path.exists(state_path):
+            saved = onp.load(state_path, allow_pickle=False)
+            start = int(saved['__chunk_pos__'])
+            k_scan = jnp.asarray(saved['__key__'])
+            state = {k: jnp.asarray(saved[k]) for k in state}
+
+        outs = []
+        pos = start
+        while pos < n:
+            end = min(pos + chunk_steps, n)
+            xs = (ts[pos:end], ts_model[pos:end], is_prime[pos:end])
+            state, k_scan, steps_out = self._run_chunk(
+                params, self.esm_params, static, static_acts, diffuse_mask,
+                state, k_scan, xs)
+            outs.append(jax.tree.map(onp.asarray, steps_out))
+            pos = end
+            if state_path and pos < n:
+                host = {k: onp.asarray(v) for k, v in state.items()}
+                host['__key__'] = onp.asarray(k_scan)
+                host['__chunk_pos__'] = onp.asarray(pos)
+                tmp = state_path + '.tmp.npz'
+                onp.savez(tmp, **host)
+                os.replace(tmp, state_path)
+        if state_path and os.path.exists(state_path):
+            os.remove(state_path)
+
+        steps_out = jax.tree.map(
+            lambda *xs: onp.concatenate(xs, axis=0), *outs)
+        skip = 1 if (c.self_conditioning
+                     and self.reverse_steps.shape[0] > 0 and start == 0) \
+            else 0
+        steps_out = jax.tree.map(lambda x: x[skip:], steps_out)
+        last = jax.tree.map(lambda x: x[-1], steps_out)
+        result = {
+            'rigids': state['rigids_t'],
+            'seq': jnp.asarray(last['seq']),
+            'atom14': jnp.asarray(last['atom14']),
+            'plddt': jnp.asarray(last['plddt']),
+            'diffuse_mask': diffuse_mask,
+            'gt_atom14': static['atom14_gt_positions'],
+        }
+        if c.collect_trajectory:
+            result['trajectory'] = steps_out
+        return result

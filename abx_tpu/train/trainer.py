@@ -45,6 +45,10 @@ class TrainConfig:
     log_every: int = 50  # <=0 disables periodic logging/metrics rows
     checkpoint_every: int = 1000
     ema_decay: float = 0.999  # 0 disables EMA
+    # Periodic in-training checkpoints via orbax (async, sharded-aware,
+    # keeps the newest 3 under <checkpoint_path>.orbax/); the final msgpack
+    # save remains the interchange format.
+    use_orbax: bool = False
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -164,6 +168,15 @@ class Trainer:
         # checkpoint, so resumed runs continue the step axis instead of
         # restarting at 1 (which made resumed metrics.csv zigzag).
         start_step = int(state['step'])
+        orbax_ckpt = None
+        if cfg.use_orbax and checkpoint_path:
+            from abx_tpu.utils.checkpoint import (OrbaxCheckpointer,
+                                                  orbax_available)
+            if orbax_available():
+                orbax_ckpt = OrbaxCheckpointer(checkpoint_path + '.orbax')
+            else:
+                logger.warning('use_orbax set but orbax missing; falling '
+                               'back to msgpack periodic checkpoints')
         try:
             for i in range(num_steps):
                 batch = next(data_iter)
@@ -186,10 +199,15 @@ class Trainer:
                         metrics_file.flush()
                 if (checkpoint_path and cfg.checkpoint_every > 0
                         and (i + 1) % cfg.checkpoint_every == 0):
-                    self._save(checkpoint_path, state)
+                    if orbax_ckpt is not None:
+                        orbax_ckpt.save(gstep, state)  # async
+                    else:
+                        self._save(checkpoint_path, state)
         finally:
             if metrics_file is not None:
                 metrics_file.close()
+            if orbax_ckpt is not None:
+                orbax_ckpt.wait()
         if checkpoint_path:
             self._save(checkpoint_path, state)
         return state

@@ -33,3 +33,56 @@ def load_params(path: str, target: Optional[Any] = None):
 
 def params_size(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: sharded/async checkpointing for large-scale training
+# (ROADMAP backlog item).  msgpack stays the default interchange format; the
+# orbax tree format is used for in-training state (optimizer moments, EMA)
+# where async saves hide the serialization latency behind the next step.
+# ---------------------------------------------------------------------------
+
+def orbax_available() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class OrbaxCheckpointer:
+    """Async orbax train-state checkpointer with a msgpack-compatible API.
+
+    Saves the full training state (params, opt_state, step, EMA) as an
+    orbax PyTree checkpoint under `<dir>/step_<n>`; keeps `max_to_keep`
+    newest. `wait()` (or close) blocks on the in-flight async save.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True))
+
+    def save(self, step: int, state: Any):
+        import orbax.checkpoint as ocp
+        self._mgr.save(int(step), args=ocp.args.StandardSave(state))
+
+    def restore(self, target: Any, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+        step = self._mgr.latest_step() if step is None else int(step)
+        if step is None:
+            return None
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(target))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

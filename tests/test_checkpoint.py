@@ -1,0 +1,64 @@
+"""Checkpoint backends: msgpack round trip + orbax async manager."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abx_tpu.utils import checkpoint as ckpt_lib
+
+
+def test_msgpack_roundtrip(tmp_path):
+    params = {'params': {'dense': {'kernel': jnp.arange(6.0).reshape(2, 3),
+                                   'bias': jnp.zeros((3,))}}}
+    path = str(tmp_path / 'p.msgpack')
+    ckpt_lib.save_params(path, params)
+    restored = ckpt_lib.load_params(path, params)
+    np.testing.assert_allclose(restored['params']['dense']['kernel'],
+                               params['params']['dense']['kernel'])
+
+
+def test_orbax_async_roundtrip(tmp_path):
+    if not ckpt_lib.orbax_available():
+        import pytest
+        pytest.skip('orbax not installed')
+    state = {'params': {'w': jnp.ones((4, 4))},
+             'opt': {'mu': jnp.zeros((4, 4))},
+             'step': jnp.asarray(7)}
+    ck = ckpt_lib.OrbaxCheckpointer(str(tmp_path / 'orbax'), max_to_keep=2)
+    ck.save(7, state)
+    ck.save(9, jax.tree.map(lambda x: x + 1, state))
+    ck.wait()
+    assert ck.latest_step() == 9
+    restored = ck.restore(state)
+    assert int(restored['step']) == 8  # 7 + 1 from the tree.map
+    np.testing.assert_allclose(restored['params']['w'], 2.0)
+    # restore a specific older step
+    old = ck.restore(state, step=7)
+    assert int(old['step']) == 7
+    ck.close()
+
+
+def test_overfit_artifact_end_state():
+    """The committed trainer-validation artifact (tools/overfit_6ct7.py on
+    one v5e chip) must show the model actually trains: sampled H3 RMSD < 1 A
+    and AAR > 0.9 on the training complex, and a decreasing loss curve."""
+    import csv
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run_dir = os.path.join(repo, 'runs', 'overfit_6ct7')
+    result_path = os.path.join(run_dir, 'result.json')
+    if not os.path.exists(result_path):
+        import pytest
+        pytest.skip('overfit artifact not present')
+    with open(result_path) as f:
+        result = json.load(f)
+    assert result['h3_rmsd_best'] < 1.0, result
+    assert result['h3_aar_best'] > 0.9, result
+    with open(os.path.join(run_dir, 'metrics.csv')) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r['total']) for r in rows]
+    assert losses[-1] < 0.25 * losses[0], (losses[0], losses[-1])
+    # metric heads are live during training (VERDICT item 7)
+    assert 'tmscore' in rows[0] and float(rows[-1]['tmscore']) > 0.95

@@ -131,3 +131,81 @@ class TestComplexAssembly:
         ex = ds.interface_crop(ex)
         w = ds.antigen_window(ex, 4)
         assert len(w['antigen_str_seq']) <= 4
+
+
+class TestSeqresAlignment:
+    def _chain(self):
+        from abx_tpu.data.pdb_io import parse_pdb
+        return parse_pdb('testdata/6ct7_H_L_S.pdb')['H']
+
+    def test_expand_places_gaps_at_true_positions(self):
+        from abx_tpu.data.pdb_io import ChainData, expand_to_seqres
+        h = self._chain()
+        # Synthesize a gappy observation: drop residues 40..47 (missing
+        # density) and build SEQRES = the full original sequence.
+        keep = np.ones(len(h.str_seq), bool)
+        keep[40:48] = False
+        obs = ChainData('H', ''.join(c for c, k in zip(h.str_seq, keep) if k),
+                        h.coords[keep], h.coord_mask[keep],
+                        [r for r, k in zip(h.resseq, keep) if k],
+                        [i for i, k in zip(h.icodes, keep) if k])
+        full = expand_to_seqres(obs, h.str_seq)
+        assert full.str_seq == h.str_seq
+        np.testing.assert_array_equal(full.coord_mask[40:48], False)
+        np.testing.assert_allclose(full.coords[keep], h.coords[keep])
+        # author numbering stays monotone through the gap
+        rs = np.asarray(full.resseq)
+        assert np.all(np.diff(rs) > 0)
+
+    def test_expand_tolerates_point_mutations(self):
+        from abx_tpu.data.pdb_io import ChainData, expand_to_seqres
+        h = self._chain()
+        seqres = list(h.str_seq)
+        seqres[10] = 'A' if seqres[10] != 'A' else 'G'  # engineered mutation
+        full = expand_to_seqres(h, ''.join(seqres))
+        # all but the mutated position are placed
+        assert full.coord_mask[:10].any(axis=-1).all()
+        assert full.coord_mask[11:].any(axis=-1).all()
+
+    def test_unrelated_seqres_is_rejected(self):
+        from abx_tpu.data.pdb_io import expand_to_seqres
+        h = self._chain()
+        out = expand_to_seqres(h, 'ACDEFGHIKLMNPQRSTVWY' * 10)
+        assert out is h  # falls back to the observed-only view
+
+    def test_complex_from_pdb_use_seqres_flag(self, tmp_path):
+        """A PDB with SEQRES + missing density round-trips through
+        complex_from_pdb(use_seqres=True) with full-length chains."""
+        from abx_tpu.data.pdb_io import parse_pdb, parse_seqres
+        src = open('testdata/6ct7_H_L_S.pdb').read()
+        # Build SEQRES records for chain H from the parsed sequence.
+        h = self._chain()
+        three = [__import__('abx_tpu.common.residue_constants',
+                            fromlist=['restype_1to3']).restype_1to3[c]
+                 for c in h.str_seq]
+        seqres_lines = []
+        for i in range(0, len(three), 13):
+            row = three[i:i + 13]
+            seqres_lines.append(
+                f'SEQRES {i // 13 + 1:>3d} H {len(three):>4d}  '
+                + ' '.join(row))
+        # Drop a stretch of ATOM records (residues 30-35 of chain H).
+        drop = {(r, ' ') for r in h.resseq[30:36]}
+        lines = []
+        for line in src.splitlines():
+            if line[:6] == 'ATOM  ' and line[21] == 'H' and \
+                    (int(line[22:26]), line[26]) in drop:
+                continue
+            lines.append(line)
+        pdb = tmp_path / '6ct7_H_L_S.pdb'
+        pdb.write_text('\n'.join(seqres_lines + lines) + '\n')
+        assert parse_seqres(str(pdb))['H'] == h.str_seq
+        ex = ds.complex_from_pdb(str(pdb), 'H', 'L', ['S'], use_seqres=True)
+        # same antibody length as the intact structure, gap masked
+        ex_full = ds.complex_from_pdb('testdata/6ct7_H_L_S.pdb', 'H', 'L',
+                                      ['S'])
+        assert len(ex['antibody_str_seq']) == len(ex_full['antibody_str_seq'])
+        assert ex['antibody_str_seq'] == ex_full['antibody_str_seq']
+        # the dropped residues are present but unobserved
+        ca = ex['antibody_coord_mask'][:, 1]
+        assert int((~ca.astype(bool)).sum()) >= 6

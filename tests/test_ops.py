@@ -114,3 +114,61 @@ class TestFusedTransition:
         res = m.apply(params, x, residual=True)
         np.testing.assert_allclose(np.asarray(res), np.asarray(x + no_res),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestTriMultKernels:
+    def _inputs(self, b=1, r=16, l=16, c=24, nc=8, seed=5):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(c, 4 * nc + c), jnp.float32)
+        wb = jnp.asarray(0.1 * rng.randn(4 * nc + c), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -2:].set(0)
+        return x, scale, bias, w, wb, mask, nc
+
+    def test_pre_matches_reference(self):
+        from abx_tpu.ops.tri_mult import (tri_mult_pre,
+                                          tri_mult_pre_reference)
+        x, scale, bias, w, wb, mask, nc = self._inputs()
+        want = tri_mult_pre_reference(x, scale, bias, w, wb, mask)
+        got = tri_mult_pre(x, scale, bias, w, wb, mask, row_block=4,
+                           interpret=True)
+        for g, wnt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_post_matches_reference(self):
+        from abx_tpu.ops.tri_mult import (tri_mult_post,
+                                          tri_mult_post_reference)
+        rng = np.random.RandomState(6)
+        b, r, l, nc, c = 1, 12, 16, 8, 24
+        y = jnp.asarray(rng.randn(b, r, l, nc), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.randn(nc), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(nc), jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(nc, c), jnp.float32)
+        wb = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        fg = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        res = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        want = tri_mult_post_reference(y, scale, bias, w, wb, fg, res)
+        got = tri_mult_post(y, scale, bias, w, wb, fg, res, row_block=4,
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_module_residual_path_matches_delta_path(self):
+        """residual=True (CPU functional) == act + delta."""
+        import ml_collections
+        from abx_tpu.models.seqformer import TriangleMultiplication
+        cfg = ml_collections.ConfigDict({
+            'num_intermediate_channel': 8, 'gating': True,
+            'orientation': 'per_row'})
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 10, 10, 16), jnp.float32)
+        mask = jnp.ones((1, 10))
+        m = TriangleMultiplication(cfg)
+        params = m.init(jax.random.PRNGKey(0), x, mask)
+        delta = m.apply(params, x, mask)
+        res = m.apply(params, x, mask, residual=True)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(x + delta),
+                                   rtol=1e-5, atol=1e-5)
