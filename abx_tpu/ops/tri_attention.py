@@ -109,7 +109,8 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
 
     x_ref: (1, RB, L, C) post-LN pair activations, NATURAL layout.
     w*_ref: (H, C, D) per-head projection weights (leading-dim indexed).
-    bias_ref: (1, H, L, L) f32.  maskbias_ref: (1, 1, L) additive.
+    bias_ref: (1, H, L, L) input dtype (upcast in-kernel; halves the
+    per-program bias HBM traffic).  maskbias_ref: (1, 1, L) additive f32.
     out_ref: (1, RB, L, H*D) — heads concatenated on lanes, so the
     consumer's head merge is a free bitcast (no layout copies anywhere).
     """
@@ -132,7 +133,8 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
             (q * scale).astype(in_dt), k.astype(in_dt),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (RB, L, L)
-        logits = logits + bias_ref[0, hh][None] + maskb[None]
+        logits = (logits + bias_ref[0, hh][None].astype(jnp.float32)
+                  + maskb[None])
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -170,7 +172,10 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     if row_block is None:
         # Scoped VMEM is ~16 MB on v5e; the f32 working set at RB=8
         # (x + per-head q/k/v/logits/probs + out accumulator) exceeds it.
-        row_block = 8 if x.dtype == jnp.bfloat16 else 4
+        import os
+        env = os.environ.get('ABX_TRI_ATTN_RB')
+        row_block = (int(env) if env
+                     else (8 if x.dtype == jnp.bfloat16 else 4))
     rpad = (-r) % row_block
     if rpad:
         x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
@@ -200,7 +205,7 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
         out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
         interpret=interpret,
     )(x, per_head(wq), per_head(wk), per_head(wv),
-      bias.astype(jnp.float32), maskbias)
+      bias.astype(x.dtype), maskbias)
     return out[:, :r]
 
 
