@@ -129,14 +129,20 @@ def select_cdrs_mask(anchor_flag, antibody_len, cdr_enums,
     pos = jnp.arange(l_ab)
 
     if key is not None:
-        k_u, k_tau, k_jit = jax.random.split(key, 3)
-        u = jax.random.uniform(k_u, (b, n_cdr))
-        tau = jax.random.uniform(k_tau, (b, 1))
-        include = u <= tau
-        # Guarantee at least one CDR per example.
-        none = ~jnp.any(include, axis=-1)
-        best = jax.nn.one_hot(jnp.argmax(u, axis=-1), n_cdr, dtype=bool)
-        include = include | (best & none[:, None])
+        # Match the reference's subset law exactly (features.py:147-149):
+        # m ~ Uniform{1..K_present}, then a uniform random size-m subset of
+        # the CDRs PRESENT in this complex.  (A traced top-m on random
+        # scores == random.shuffle + take-m.)
+        k_m, k_u, k_jit = jax.random.split(key, 3)
+        present = jnp.stack(
+            [jnp.any(anchor_flag == enum, axis=-1) for enum in cdr_enums],
+            axis=-1)                                    # (B, K) bool
+        n_present = jnp.maximum(jnp.sum(present, axis=-1), 1)
+        m = (jax.random.uniform(k_m, (b,)) * n_present).astype(jnp.int32) + 1
+        scores = jax.random.uniform(k_u, (b, n_cdr))
+        scores = jnp.where(present, scores, -1.0)       # absent: never picked
+        ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+        include = (ranks < m[:, None]) & present
         jitter = jax.random.randint(
             k_jit, (b, n_cdr, 2), -shrink_limit, extend_limit + 1)
     else:

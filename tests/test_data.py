@@ -209,3 +209,28 @@ class TestSeqresAlignment:
         # the dropped residues are present but unobserved
         ca = ex['antibody_coord_mask'][:, 1]
         assert int((~ca.astype(bool)).sum()) >= 6
+
+
+def test_cdr_subset_size_law_matches_reference():
+    """Training CDR-subset augmentation follows the reference's law
+    (features.py:147-149): size ~ Uniform{1..K}, uniform subsets."""
+    from abx_tpu.data.features import select_cdrs_mask
+    b, l_ab, K = 1500, 60, 6
+    anchor = np.zeros((b, l_ab), np.int32)
+    enums = [1, 3, 5, 8, 10, 12]
+    for i, e in enumerate(enums):
+        anchor[:, 8 * i + 1] = e
+        anchor[:, 8 * i + 6] = e
+    import jax
+    import jax.numpy as jnp
+    out = np.asarray(select_cdrs_mask(
+        jnp.asarray(anchor), l_ab, enums, jnp.ones((b, l_ab + 10)),
+        key=jax.random.PRNGKey(0)))[:, :l_ab]
+    sizes = np.zeros((b,), int)
+    for i in range(K):
+        sizes += out[:, 8 * i + 2: 8 * i + 5].any(axis=1)
+    hist = np.bincount(sizes, minlength=K + 1) / b
+    assert hist[0] < 0.01            # never empty
+    # each m in 1..K close to 1/K (jitter can shrink a region to empty,
+    # shifting ~2% of mass down)
+    assert np.all(np.abs(hist[1:] - 1.0 / K) < 0.04), hist
