@@ -167,7 +167,13 @@ class ESMSelfAttention(nn.Module):
         k = _apply_rotary(k, cos, sin)
 
         q = q * (dh ** -0.5)
-        if use_flash_esm() and jax.default_backend() == 'tpu':
+        from abx_tpu.ops.registry import use_fused_esm_attention
+        if use_fused_esm_attention() and jax.default_backend() == 'tpu':
+            # Per-(batch, head) VMEM-resident attention — the f32 logits
+            # tensor never touches HBM (ops/esm_attention.py).
+            from abx_tpu.ops.esm_attention import esm_attention
+            out = esm_attention(q, k, v, padding_mask)
+        elif use_flash_esm() and jax.default_backend() == 'tpu':
             out = _esm_flash_attention(q, k, v, padding_mask)
         else:
             logits = jnp.einsum('bhqd,bhkd->bhqk', q, k)

@@ -45,3 +45,13 @@ def use_flash_esm() -> bool:
 def use_fused_trimult() -> bool:
     """Fused triangle-multiplication pre/post blocks (inference, TPU)."""
     return os.environ.get('ABX_FUSED_TRIMULT', '1') == '1'
+
+
+def use_fused_esm_attention() -> bool:
+    """Per-(batch, head) VMEM-resident ESM attention kernel (TPU
+    inference).  Default OFF: measured 13.05 vs 13.83 steps/s ESM-on
+    against the XLA einsum path at B=4, L=306 — the per-(b, h) grid (160
+    programs x 36 layers) overhead outweighs the logits HBM saving at this
+    context length; XLA's own softmax fusions are already adequate.  Like
+    ABX_FLASH_ESM, revisit for long-context configurations."""
+    return os.environ.get('ABX_FUSED_ESM_ATTN', '0') == '1'

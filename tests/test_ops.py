@@ -172,3 +172,21 @@ class TestTriMultKernels:
         res = m.apply(params, x, mask, residual=True)
         np.testing.assert_allclose(np.asarray(res), np.asarray(x + delta),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestESMAttention:
+    def test_matches_reference(self):
+        from abx_tpu.ops.esm_attention import (esm_attention,
+                                               esm_attention_reference)
+        rng = np.random.RandomState(8)
+        b, h, l, d = 2, 3, 30, 16
+        q = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, l, d), jnp.float32)
+        pad = jnp.zeros((b, l)).at[:, -4:].set(1)
+        want = np.asarray(esm_attention_reference(q, k, v, pad))
+        got = np.asarray(esm_attention(q, k, v, pad, interpret=True))
+        # valid (non-pad) positions must match; pad outputs are garbage
+        valid = ~np.asarray(pad, bool)
+        np.testing.assert_allclose(got[:, :, :-4], want[:, :, :-4],
+                                   rtol=2e-5, atol=2e-5)
