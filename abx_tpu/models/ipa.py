@@ -34,7 +34,7 @@ class InvariantPointAttention(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_1d, inputs_2d, mask, rigids: Rigid,
-                 pair_bias=None):
+                 pair_bias=None, deterministic: bool = True):
         c = self.config
         h = c.num_head
         nsq, npq = c.num_scalar_qk, c.num_point_qk
@@ -142,9 +142,19 @@ class InvariantPointAttention(nn.Module):
             jnp.sum(jnp.square(result_point_local), axis=-1)
             + self.dist_epsilon).astype(self.dtype))
 
-        result_2d = jnp.einsum('bhij,bijc->bihc', attn.astype(self.dtype),
-                               inputs_2d)
-        outputs.append(result_2d.reshape(b, l, h * inputs_2d.shape[-1]))
+        from abx_tpu.ops.registry import use_ipa_attend_kernel
+        if (deterministic and jax.default_backend() == 'tpu'
+                and use_ipa_attend_kernel()):
+            # Row-blocked VMEM attend-over-pair (ops/ipa_attend.py): the
+            # M=12 batched matmul XLA emits here runs at ~10% MXU util
+            # behind attention-tensor layout copies.
+            from abx_tpu.ops.ipa_attend import ipa_pair_attend
+            outputs.append(ipa_pair_attend(attn, inputs_2d))
+        else:
+            result_2d = jnp.einsum('bhij,bijc->bihc',
+                                   attn.astype(self.dtype), inputs_2d)
+            outputs.append(result_2d.reshape(b, l,
+                                             h * inputs_2d.shape[-1]))
 
         final_act = jnp.concatenate(outputs, axis=-1)
         return Linear(c.num_channel, init='final', dtype=self.dtype,
@@ -249,7 +259,8 @@ class IpaScore(nn.Module):
             is_last = it == c.num_layer - 1
             rig = Rigid(curr_rots, curr_trans)
             seq_act = seq_act + ipa(seq_act, pair_act, node_mask, rig,
-                                    pair_bias=pair_bias)
+                                    pair_bias=pair_bias,
+                                    deterministic=deterministic)
             if not deterministic:
                 seq_act = nn.Dropout(c.dropout)(
                     seq_act, deterministic=False,

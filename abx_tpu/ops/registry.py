@@ -55,3 +55,8 @@ def use_fused_esm_attention() -> bool:
     context length; XLA's own softmax fusions are already adequate.  Like
     ABX_FLASH_ESM, revisit for long-context configurations."""
     return os.environ.get('ABX_FUSED_ESM_ATTN', '0') == '1'
+
+
+def use_ipa_attend_kernel() -> bool:
+    """Row-blocked IPA attend-over-pair kernel (TPU inference)."""
+    return os.environ.get('ABX_IPA_ATTEND', '1') == '1'

@@ -190,3 +190,30 @@ class TestESMAttention:
         valid = ~np.asarray(pad, bool)
         np.testing.assert_allclose(got[:, :, :-4], want[:, :, :-4],
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestIPAAttend:
+    def test_matches_reference(self):
+        from abx_tpu.ops.ipa_attend import (ipa_pair_attend,
+                                            ipa_pair_attend_reference)
+        rng = np.random.RandomState(9)
+        b, h, l, c = 2, 3, 20, 16
+        attn = jnp.asarray(rng.rand(b, h, l, l), jnp.float32)
+        pair = jnp.asarray(rng.randn(b, l, l, c), jnp.float32)
+        want = np.asarray(ipa_pair_attend_reference(attn, pair))
+        got = np.asarray(ipa_pair_attend(attn, pair, row_block=4,
+                                         interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_row_padding(self):
+        from abx_tpu.ops.ipa_attend import (ipa_pair_attend,
+                                            ipa_pair_attend_reference)
+        rng = np.random.RandomState(10)
+        b, h, l, c = 1, 2, 13, 8
+        attn = jnp.asarray(rng.rand(b, h, l, l), jnp.float32)
+        pair = jnp.asarray(rng.randn(b, l, l, c), jnp.float32)
+        want = np.asarray(ipa_pair_attend_reference(attn, pair))
+        got = np.asarray(ipa_pair_attend(attn, pair, row_block=4,
+                                         interpret=True))
+        assert got.shape == (b, l, h * c)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
