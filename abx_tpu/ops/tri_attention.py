@@ -119,6 +119,7 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
     h = wq_ref.shape[0]
     in_dt = x.dtype
     proj_dims = (((2,), (0,)), ((), ()))          # (RB, L, C) @ (C, D)
+    del scale  # folded into wq by the caller
     outs = []
     for hh in range(h):
         # MXU dots run on the input dtype (bf16 at full rate; f32 would run
@@ -130,7 +131,7 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
         v = jax.lax.dot_general(x, wv_ref[hh], proj_dims,
                                 preferred_element_type=jnp.float32)
         logits = jax.lax.dot_general(
-            (q * scale).astype(in_dt), k.astype(in_dt),
+            q.astype(in_dt), k.astype(in_dt),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (RB, L, L)
         logits = (logits + bias_ref[0, hh][None].astype(jnp.float32)
@@ -138,6 +139,10 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # (An unnormalised-attend variant — divide the (RB, L, D) output
+        # instead of the probabilities — exceeded the 16 MB VMEM budget:
+        # e stays live in f32 through the attend dot alongside its bf16
+        # copy.)
         outs.append(jax.lax.dot_general(
             probs.astype(in_dt), v.astype(in_dt),
             (((2,), (1,)), ((0,), (0,))),
@@ -184,8 +189,9 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
 
     # (C, H*D) -> (H, C, D): head becomes a leading (untiled) axis the
     # kernel indexes statically; done once per call on tiny tensors.
-    def per_head(w):
-        return jnp.moveaxis(w.reshape(c, h, d), 1, 0).astype(x.dtype)
+    # The 1/sqrt(D) softmax scale folds into wq here (free).
+    def per_head(w, s=1.0):
+        return (jnp.moveaxis(w.reshape(c, h, d), 1, 0) * s).astype(x.dtype)
 
     maskbias = ((1.0 - mask.astype(jnp.float32)) * BIG_NEG)[:, None, :]
 
@@ -204,7 +210,7 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
                                lambda bb, rr: (bb, rr, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
         interpret=interpret,
-    )(x, per_head(wq), per_head(wk), per_head(wv),
+    )(x, per_head(wq, scale), per_head(wk), per_head(wv),
       bias.astype(x.dtype), maskbias)
     return out[:, :r]
 
