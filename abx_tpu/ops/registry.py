@@ -12,6 +12,10 @@ import os
 
 
 def use_pallas_triangle() -> bool:
+    """Pallas triangle contraction: default OFF — XLA's einsum is ~72% of
+    bf16 peak here already, and at production shape (B=4, L=288, C=128)
+    the tile-128 kernel exceeds the 128 MB VMEM capacity inside the full
+    sampler program (measured: 128.68M/128M)."""
     return os.environ.get('ABX_PALLAS_TRIANGLE', '0') == '1'
 
 
