@@ -43,8 +43,12 @@ def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
     y = jax.lax.dot_general(ln, w_ref[...], dims,
                             preferred_element_type=jnp.float32)
     y = y + wb_ref[0]                              # (RB, L, 4*nc + C)
-    # mrow: (RB, 1), mcol: (1, L) -> pair mask (RB, L, 1).
-    pm = (mrow_ref[0] * mcol_ref[0])[..., None]
+    # mrow holds ALL rows (full-dim block keeps Mosaic legal for any
+    # row_block, incl. RB=4 in f32); ref-level dynamic slice picks this
+    # program's rows.
+    rb = x.shape[0]
+    rows = mrow_ref[0, pl.ds(pl.program_id(1) * rb, rb), :]  # (RB, 1)
+    pm = (rows * mcol_ref[0])[..., None]           # (RB, L, 1)
     left = y[..., :nc] * jax.nn.sigmoid(y[..., 2 * nc:3 * nc]) * pm
     right = y[..., nc:2 * nc] * jax.nn.sigmoid(y[..., 3 * nc:4 * nc]) * pm
     left_ref[0] = left.astype(left_ref.dtype)
@@ -91,7 +95,7 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
         in_specs=[
             x_spec, const((1, c)), const((1, c)),
             const((c, w.shape[-1])), const((1, w.shape[-1])),
-            pl.BlockSpec((1, row_block, 1), lambda bb, rr: (bb, rr, 0)),
+            pl.BlockSpec((1, rp, 1), lambda bb, rr: (bb, 0, 0)),
             pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
         ],
         out_specs=[

@@ -31,6 +31,8 @@ def main():
     p.add_argument('--num_samples', type=int, default=4)
     p.add_argument('--num_t', type=int, default=50)
     p.add_argument('--lr', type=float, default=5e-4)
+    p.add_argument('--generate_area', type=str, default='H3',
+                   help="'H3' or 'cdr' (all six CDRs co-design)")
     p.add_argument('--tiny', action='store_true')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--out', type=str,
@@ -66,7 +68,8 @@ def main():
         rt.model, rt.diffuser, rt.config.model, rt.config.loss,
         TrainConfig(learning_rate=args.lr, warmup_steps=100,
                     decay_steps=max(args.steps - 100, 1),
-                    generate_area='H3', log_every=50, ema_decay=0.999,
+                    generate_area=args.generate_area, log_every=50,
+                    ema_decay=0.999,
                     checkpoint_every=args.steps))
     state = trainer.init_state(rt.params)
     state = trainer.fit(
@@ -76,7 +79,8 @@ def main():
 
     # ---- EMA-eval: sample H3 designs on the training complex.
     ema = {'params': state.get('ema_params', state['params'])['params']}
-    scfg = SamplerConfig(num_t=args.num_t, mode='design', generate_area='H3')
+    scfg = SamplerConfig(num_t=args.num_t, mode='design',
+                         generate_area=args.generate_area)
     sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                       esm_fn=rt.esm_fn, esm_params=rt.esm_params)
     sfeats = {k: np.repeat(v[None], args.num_samples, axis=0)
@@ -95,10 +99,12 @@ def main():
         aar = float(np.mean(
             np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
         rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
-        print(f'sample {i}: H3 rmsd={rmsd:.3f} A  aar={aar:.3f}')
+        print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
+              f'aar={aar:.3f}')
 
     result = {
         'steps': args.steps,
+        'generate_area': args.generate_area,
         'h3_rmsd_best': min(r['h3_rmsd'] for r in rows),
         'h3_rmsd_mean': float(np.mean([r['h3_rmsd'] for r in rows])),
         'h3_aar_best': max(r['h3_aar'] for r in rows),
