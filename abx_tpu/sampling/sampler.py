@@ -302,6 +302,10 @@ class Sampler:
         Determinism: identical inputs produce bitwise-identical results to
         `sample` up to chunked-scan compilation differences; the RNG chain
         is part of the saved state.
+
+        Caveat: with `collect_trajectory`, a resumed run returns only the
+        steps from the resume point onward (earlier chunks' outputs died
+        with the previous process); final-state outputs are complete.
         """
         import numpy as onp
         c = self.config
