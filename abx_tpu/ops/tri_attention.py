@@ -103,8 +103,10 @@ def triangle_attention_fused(q, k, v, bias, mask, row_block: int = 8,
     return out[:, :r]
 
 
-def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
-                   out_ref, *, scale: float, bf16_softmax: bool = False):
+def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, wall_ref, bias_ref,
+                   maskbias_ref, out_ref, *, scale: float,
+                   bf16_softmax: bool = False,
+                   fused_proj: bool = False):
     """Projection + attention for one (batch, row-block) program.
 
     x_ref: (1, RB, L, C) post-LN pair activations, NATURAL layout.
@@ -117,19 +119,35 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, bias_ref, maskbias_ref,
     x = x_ref[0]                                  # (RB, L, C) bf16
     maskb = maskbias_ref[0]                       # (1, L)
     h = wq_ref.shape[0]
+    d = wq_ref.shape[-1]
     in_dt = x.dtype
     proj_dims = (((2,), (0,)), ((), ()))          # (RB, L, C) @ (C, D)
     del scale  # folded into wq by the caller
+
+    if fused_proj:
+        # One full-lane projection dot (N = 3*H*D) followed by per-head
+        # VMEM lane slices; trades MXU lane util (48/128 per-head) for a
+        # possible relayout cost on the slices — A/B via env.
+        y_all = jax.lax.dot_general(x, wall_ref[...], proj_dims,
+                                    preferred_element_type=jnp.float32)
+
     outs = []
     for hh in range(h):
         # MXU dots run on the input dtype (bf16 at full rate; f32 would run
         # ~8x slower) with f32 accumulation; softmax stays f32.
-        q = jax.lax.dot_general(x, wq_ref[hh], proj_dims,
-                                preferred_element_type=jnp.float32)
-        k = jax.lax.dot_general(x, wk_ref[hh], proj_dims,
-                                preferred_element_type=jnp.float32)
-        v = jax.lax.dot_general(x, wv_ref[hh], proj_dims,
-                                preferred_element_type=jnp.float32)
+        if fused_proj:
+            q = jax.lax.slice_in_dim(y_all, hh * d, (hh + 1) * d, axis=2)
+            k = jax.lax.slice_in_dim(y_all, (h + hh) * d, (h + hh + 1) * d,
+                                     axis=2)
+            v = jax.lax.slice_in_dim(y_all, (2 * h + hh) * d,
+                                     (2 * h + hh + 1) * d, axis=2)
+        else:
+            q = jax.lax.dot_general(x, wq_ref[hh], proj_dims,
+                                    preferred_element_type=jnp.float32)
+            k = jax.lax.dot_general(x, wk_ref[hh], proj_dims,
+                                    preferred_element_type=jnp.float32)
+            v = jax.lax.dot_general(x, wv_ref[hh], proj_dims,
+                                    preferred_element_type=jnp.float32)
         logits = jax.lax.dot_general(
             q.astype(in_dt), k.astype(in_dt),
             (((2,), (2,)), ((0,), (0,))),
@@ -185,8 +203,11 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
         # (x + per-head q/k/v/logits/probs + out accumulator) exceeds it.
         import os
         env = os.environ.get('ABX_TRI_ATTN_RB')
+        fused_default = (x.dtype == jnp.bfloat16 and os.environ.get(
+            'ABX_TRI_ATTN_FUSED_PROJ', '1') == '1')
         row_block = (int(env) if env
-                     else (8 if x.dtype == jnp.bfloat16 else 4))
+                     else (4 if fused_default or x.dtype != jnp.bfloat16
+                           else 8))
     rpad = (-r) % row_block
     if rpad:
         x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
@@ -212,12 +233,24 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     import os as _os
     bf16_softmax = (x.dtype == jnp.bfloat16 and
                     _os.environ.get('ABX_TRI_ATTN_BF16_EXP', '1') == '1')
+    # Full-lane fused projection (one N=3*H*D dot + per-head VMEM slices):
+    # measured +1 steps/s over per-head N=48 dots; needs RB=4 to fit VMEM
+    # (the f32 working set grows by the (RB, L, 3HD) y_all).  bf16 only.
+    fused_proj = (x.dtype == jnp.bfloat16 and
+                  _os.environ.get('ABX_TRI_ATTN_FUSED_PROJ', '1') == '1')
+    # (C, H*D) mats are already per-head column blocks, so the fused
+    # projection weight is a plain column concat [q|k|v].
+    w_all = jnp.concatenate(
+        [(wq * scale).astype(x.dtype), wk.astype(x.dtype),
+         wv.astype(x.dtype)], axis=-1)
     out = pl.pallas_call(
         functools.partial(_packed_kernel, scale=scale,
-                          bf16_softmax=bf16_softmax),
+                          bf16_softmax=bf16_softmax,
+                          fused_proj=fused_proj),
         grid=grid,
         in_specs=[
             x_spec, w_spec, w_spec, w_spec,
+            pl.BlockSpec((c, 3 * h * d), lambda bb, rr: (0, 0)),
             pl.BlockSpec((1, h, l, l), lambda bb, rr: (bb, 0, 0, 0)),
             pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
         ],
@@ -225,7 +258,7 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
                                lambda bb, rr: (bb, rr, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
         interpret=interpret,
-    )(x, per_head(wq, scale), per_head(wk), per_head(wv),
+    )(x, per_head(wq, scale), per_head(wk), per_head(wv), w_all,
       bias.astype(x.dtype), maskbias)
     return out[:, :r]
 
