@@ -217,3 +217,26 @@ class TestIPAAttend:
                                          interpret=True))
         assert got.shape == (b, l, h * c)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestPackedBf16Paths:
+    def test_bf16_fused_proj_and_softmax(self, monkeypatch):
+        """The bf16-only kernel paths (full-lane fused projection + bf16
+        softmax exp) match the f32 reference twin to bf16 tolerance."""
+        from abx_tpu.ops import tri_attention as ta
+        monkeypatch.setenv('ABX_TRI_ATTN_FUSED_PROJ', '1')
+        monkeypatch.setenv('ABX_TRI_ATTN_BF16_EXP', '1')
+        rng = np.random.RandomState(11)
+        b, r, l, c, h, d = 1, 16, 32, 24, 4, 6
+        x = jnp.asarray(rng.randn(b, r, l, c), jnp.bfloat16)
+        wq = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wk = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        wv = jnp.asarray(0.1 * rng.randn(c, h * d), jnp.float32)
+        bias = jnp.asarray(rng.randn(b, h, l, l), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -3:].set(0)
+        want = np.asarray(ta.triangle_attention_packed_reference(
+            x.astype(jnp.float32), wq, wk, wv, bias, mask))
+        got = np.asarray(ta.triangle_attention_packed(
+            x, wq, wk, wv, bias, mask, row_block=4,
+            interpret=True)).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
