@@ -62,7 +62,7 @@ class GatedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_data, k_data=None, bias=None, k_mask=None,
-                 fused: bool = False, bias_llh=None):
+                 fused: bool = False, bias_llh=None, residual=None):
         h = self.num_head
         key_dim = self.key_dim // h
         value_dim = self.value_dim // h
@@ -89,6 +89,22 @@ class GatedAttention(nn.Module):
                     out = triangle_attention_packed(
                         q_data, kq, kk, kv,
                         jnp.moveaxis(bias_llh, -1, -3), k_mask[:, 0])
+                    from abx_tpu.ops.registry import use_gate_proj_kernel
+                    if (self.gating and residual is not None
+                            and use_gate_proj_kernel()):
+                        # Fused epilogue: gate -> proj_out -> +residual in
+                        # one VMEM pass (ops/gate_proj.py).
+                        kg, bg = LinearParams(self.value_dim, c_in,
+                                              init='gate', name='gate')()
+                        gate_pre = (jnp.dot(q_data.astype(self.dtype),
+                                            kg.astype(self.dtype))
+                                    + bg.astype(self.dtype))
+                        wout, bout = LinearParams(
+                            self.output_dim, self.value_dim, init='final',
+                            name='proj_out')()
+                        from abx_tpu.ops.gate_proj import gate_proj_residual
+                        return gate_proj_residual(out, gate_pre, wout,
+                                                  bout, residual)
                     if self.gating:
                         kg, bg = LinearParams(self.value_dim, c_in,
                                               init='gate', name='gate')()
@@ -96,8 +112,9 @@ class GatedAttention(nn.Module):
                                             kg.astype(self.dtype))
                                     + bg.astype(self.dtype))
                         out = out * nn.sigmoid(gate_pre)
-                    return Linear(self.output_dim, init='final',
-                                  dtype=self.dtype, name='proj_out')(out)
+                    out = Linear(self.output_dim, init='final',
+                                 dtype=self.dtype, name='proj_out')(out)
+                    return out if residual is None else residual + out
                 branches = [(kq, None), (kk, None), (kv, None)]
                 if self.gating:
                     branches.append(LinearParams(
@@ -161,8 +178,9 @@ class GatedAttention(nn.Module):
                 gate_pre = Linear(self.value_dim, init='gate',
                                   dtype=self.dtype, name='gate')(q_data)
             out = out * nn.sigmoid(gate_pre)
-        return Linear(self.output_dim, init='final', dtype=self.dtype,
-                      name='proj_out')(out)
+        out = Linear(self.output_dim, init='final', dtype=self.dtype,
+                     name='proj_out')(out)
+        return out if residual is None else residual + out
 
 
 class SeqAttentionWithPairBias(nn.Module):
@@ -321,11 +339,19 @@ class TriangleAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pair_act, seq_mask, deterministic: bool = True):
+    def __call__(self, pair_act, seq_mask, deterministic: bool = True,
+                 residual: bool = False):
+        """`residual=True` folds the +input into the fused attention
+        epilogue (gate -> proj -> +res in one VMEM pass at inference)."""
         from abx_tpu.ops.registry import use_fused_tri_attention
         c = self.config
+        res_in = None
         if c.orientation == 'per_column':
             pair_act = jnp.swapaxes(pair_act, 1, 2)
+        if residual:
+            # Residual in THIS orientation: the elementwise add commutes
+            # with the axis swap undone below.
+            res_in = pair_act
         pair_act = LayerNorm(dtype=self.dtype, name='norm')(pair_act)
         bias_llh = Linear(c.num_head, init='linear', use_bias=False,
                           dtype=self.dtype, name='proj_pair')(pair_act)
@@ -340,7 +366,7 @@ class TriangleAttention(nn.Module):
             output_dim=pair_act.shape[-1], num_head=c.num_head,
             gating=c.gating, dtype=self.dtype, name='attn')(
             pair_act, k_data=pair_act, bias_llh=bias_llh,
-            k_mask=seq_mask[:, None], fused=fused)
+            k_mask=seq_mask[:, None], fused=fused, residual=res_in)
         if c.orientation == 'per_column':
             out = jnp.swapaxes(out, 1, 2)
         return out
@@ -391,16 +417,21 @@ class SeqformerIteration(nn.Module):
             pair_act = pair_act + dropout_fn(
                 tri_in(pair_act, seq_mask),
                 c.triangle_multiplication_incoming)
-        pair_act = pair_act + dropout_fn(
-            TriangleAttention(c.triangle_attention_starting_node,
-                              dtype=self.dtype, name='tri_attn_start')(
-                pair_act, seq_mask, deterministic=deterministic),
-            c.triangle_attention_starting_node)
-        pair_act = pair_act + dropout_fn(
-            TriangleAttention(c.triangle_attention_ending_node,
-                              dtype=self.dtype, name='tri_attn_end')(
-                pair_act, seq_mask, deterministic=deterministic),
-            c.triangle_attention_ending_node)
+        attn_start = TriangleAttention(c.triangle_attention_starting_node,
+                                       dtype=self.dtype,
+                                       name='tri_attn_start')
+        attn_end = TriangleAttention(c.triangle_attention_ending_node,
+                                     dtype=self.dtype, name='tri_attn_end')
+        if deterministic:
+            pair_act = attn_start(pair_act, seq_mask, residual=True)
+            pair_act = attn_end(pair_act, seq_mask, residual=True)
+        else:
+            pair_act = pair_act + dropout_fn(
+                attn_start(pair_act, seq_mask, deterministic=False),
+                c.triangle_attention_starting_node)
+            pair_act = pair_act + dropout_fn(
+                attn_end(pair_act, seq_mask, deterministic=False),
+                c.triangle_attention_ending_node)
         pair_act = Transition(c.pair_transition, dtype=self.dtype,
                               name='pair_transition')(
             pair_act, residual=True, deterministic=deterministic)

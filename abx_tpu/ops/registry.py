@@ -64,3 +64,11 @@ def use_fused_esm_attention() -> bool:
 def use_ipa_attend_kernel() -> bool:
     """Row-blocked IPA attend-over-pair kernel (TPU inference)."""
     return os.environ.get('ABX_IPA_ATTEND', '1') == '1'
+
+
+def use_gate_proj_kernel() -> bool:
+    """Fused attention epilogue (gate -> proj -> +residual).  Default OFF:
+    XLA already fuses the sigmoid-gate into the projection's operand
+    prologue and the residual add into its epilogue, so the kernel only
+    adds dispatch overhead (measured 46.5 vs 48.4 steps/s)."""
+    return os.environ.get('ABX_GATE_PROJ_KERNEL', '0') == '1'

@@ -240,3 +240,38 @@ class TestPackedBf16Paths:
             x, wq, wk, wv, bias, mask, row_block=4,
             interpret=True)).astype(np.float32)
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+class TestGateProjResidual:
+    def test_matches_reference(self):
+        from abx_tpu.ops.gate_proj import (gate_proj_residual,
+                                           gate_proj_residual_reference)
+        rng = np.random.RandomState(12)
+        b, r, l, hd, c = 2, 12, 16, 24, 20
+        y = jnp.asarray(rng.randn(b, r, l, hd), jnp.float32)
+        g = jnp.asarray(rng.randn(b, r, l, hd), jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(hd, c), jnp.float32)
+        wb = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        res = jnp.asarray(rng.randn(b, r, l, c), jnp.float32)
+        want = np.asarray(gate_proj_residual_reference(y, g, w, wb, res))
+        got = np.asarray(gate_proj_residual(y, g, w, wb, res, row_block=4,
+                                            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_triangle_attention_residual_path(self):
+        """Functional residual path == pair_act + delta (CPU)."""
+        import ml_collections
+        from abx_tpu.models.seqformer import TriangleAttention
+        for orient in ('per_row', 'per_column'):
+            cfg = ml_collections.ConfigDict({
+                'orientation': orient, 'num_head': 2, 'gating': True})
+            rng = np.random.RandomState(13)
+            x = jnp.asarray(rng.randn(1, 10, 10, 16), jnp.float32)
+            mask = jnp.ones((1, 10))
+            m = TriangleAttention(cfg)
+            params = m.init(jax.random.PRNGKey(0), x, mask)
+            delta = m.apply(params, x, mask)
+            res = m.apply(params, x, mask, residual=True)
+            np.testing.assert_allclose(np.asarray(res),
+                                       np.asarray(x + delta),
+                                       rtol=1e-5, atol=1e-5)
