@@ -41,12 +41,23 @@ def main():
                    help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu')")
+    p.add_argument('--coordinator', type=str, default=None,
+                   help='multi-host: coordinator address host:port '
+                        '(jax.distributed); requires --num_hosts/--host_id')
+    p.add_argument('--num_hosts', type=int, default=None)
+    p.add_argument('--host_id', type=int, default=None)
     p.add_argument('--verbose', action='store_true')
     args = p.parse_args()
 
     if args.platform:
         import jax
         jax.config.update('jax_platforms', args.platform)
+    if args.coordinator:
+        # Multi-host (DCN) initialisation; afterwards jax.process_index()
+        # / jax.process_count() drive the complex-list sharding below.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts, process_id=args.host_id)
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

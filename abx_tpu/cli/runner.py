@@ -242,7 +242,11 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
     """
     cfg = runtime.config
     num_t = num_t or cfg.diffuser.inference_step
-    devices = jax.devices()
+    # HOST-LOCAL devices: hosts are independent by design — complexes are
+    # sharded across hosts over DCN (`shard_names`), samples across each
+    # host's own chips over ICI.  Using jax.devices() here would build a
+    # global mesh and try to shard host-local numpy onto remote chips.
+    devices = jax.local_devices()
     batch_samples = batch_samples or max(1, len(devices))
     dev_mesh = mesh_lib.make_mesh(devices)
 

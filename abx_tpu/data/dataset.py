@@ -44,6 +44,9 @@ def load_complex_npz(path: str, name: str) -> Dict[str, np.ndarray]:
     struc = dict(np.load(path, allow_pickle=False))
     out = {'name': name}
     for k, v in struc.items():
+        if k == 'name':
+            continue  # caller-provided name wins (a stray 'name' array in
+            # the npz would clobber the string and break output naming)
         out[k] = v
     # Normalise the string fields.
     for k in ('antibody_str_seq', 'antigen_str_seq'):

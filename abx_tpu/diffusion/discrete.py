@@ -15,11 +15,32 @@ vectorised `jax.random` (categorical / poisson) keyed explicitly.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from abx_tpu.common import residue_constants as rc
+
+
+def poisson_counts_from_uniform(lam, u, max_k: int = 16):
+    """Poisson counts by inverse CDF from shared uniforms `u`.
+
+    k = #{j < max_k : CDF(j) < u}, the smallest k with CDF(k) >= u.  Used by
+    the shared-noise parity harness: the torch reference side draws with the
+    SAME formula from the SAME uniforms, so identical rates give identical
+    jump counts.  The cumulative sum uses the forward pmf recurrence
+    term_{j} = term_{j-1} * lam / j so both sides share the op order; the
+    tail above max_k is truncated (lam = rate*dt << 1 in practice).
+    """
+    term = jnp.exp(-lam)
+    cdf = term
+    counts = (u > cdf).astype(jnp.int32)
+    for j in range(1, max_k):
+        term = term * lam / j
+        cdf = cdf + term
+        counts = counts + (u > cdf).astype(jnp.int32)
+    return counts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,7 +120,8 @@ class DiscreteDiffuser:
             return x_tilde, qt0, rate, x_t
         return x_tilde, qt0, rate
 
-    def reverse(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9):
+    def reverse(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9,
+                u: Optional[jnp.ndarray] = None):
         """Tau-leaping reverse jump step (reference :130-190).
 
         Args:
@@ -107,6 +129,9 @@ class DiscreteDiffuser:
             logits_t: (B, D, S) model logits for x_0.
             t: scalar or (B,) time.
             dt: scalar step.
+            u: optional (B, D, S) uniforms: Poisson jump counts are then
+                drawn by inverse CDF from `u` instead of from `key`
+                (shared-noise parity harness).
         """
         batch, length = x_t.shape
         s = self.num_states
@@ -131,6 +156,9 @@ class DiscreteDiffuser:
         reverse_rates = reverse_rates * (1.0 - onehot_xt)
 
         diffs = jnp.arange(s)[None, None, :] - x_t[:, :, None]
-        jump_nums = jax.random.poisson(key, reverse_rates * dt)
+        if u is None:
+            jump_nums = jax.random.poisson(key, reverse_rates * dt)
+        else:
+            jump_nums = poisson_counts_from_uniform(reverse_rates * dt, u)
         overall_jump = jnp.sum(jump_nums * diffs, axis=-1)
         return jnp.clip(x_t + overall_jump, 0, s - 1).astype(jnp.int32)

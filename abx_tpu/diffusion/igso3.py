@@ -195,10 +195,17 @@ class SO3Diffuser:
 
     def reverse(self, key, rot_t, score_t, t, dt,
                 mask: Optional[jnp.ndarray] = None,
-                noise_scale: float = 1.0) -> jnp.ndarray:
-        """One geodesic-random-walk reverse step (reference :328-361)."""
+                noise_scale: float = 1.0,
+                z: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """One geodesic-random-walk reverse step (reference :328-361).
+
+        `z` optionally injects the standard-normal draw (shared-noise parity
+        harness); when None it is drawn from `key`.
+        """
         g_t = self.diffusion_coef(t)[:, None, None]
-        z = noise_scale * jax.random.normal(key, score_t.shape)
+        if z is None:
+            z = jax.random.normal(key, score_t.shape)
+        z = noise_scale * z
         perturb = (g_t**2) * score_t * dt + g_t * jnp.sqrt(dt) * z
         if mask is not None:
             perturb = perturb * mask[..., None]

@@ -166,26 +166,36 @@ class JointDiffuser:
     # -- reverse ------------------------------------------------------------
     def reverse(self, key, rigids_t, seq_t, rot_score, trans_score, logits_t,
                 t, dt, diffuse_mask: Optional[jnp.ndarray] = None,
-                center: bool = True, noise_scale: float = 1.0):
-        """One joint reverse step; t (B,), dt scalar."""
+                center: bool = True, noise_scale: float = 1.0,
+                noise: Optional[Dict[str, jnp.ndarray]] = None):
+        """One joint reverse step; t (B,), dt scalar.
+
+        `noise` optionally injects the primitive random draws (shared-noise
+        parity harness): keys 'rot_z' (B,L,3) / 'trans_z' (B,L,3) normals
+        and 'seq_u' (B,L,S) uniforms; absent keys fall back to `key`.
+        """
         c = self.config
+        noise = noise or {}
         trans_t, rot_t = rigids_t[..., 4:], quat_ops.quat_to_rotvec(
             rigids_t[..., :4])
         k_rot, k_trans, k_seq = jax.random.split(key, 3)
 
         if c.diffuse_rot:
             rot_t_1 = self.so3.reverse(k_rot, rot_t, rot_score, t, dt,
-                                       noise_scale=noise_scale)
+                                       noise_scale=noise_scale,
+                                       z=noise.get('rot_z'))
         else:
             rot_t_1 = rot_t
         if c.diffuse_trans:
             trans_t_1 = self.r3.reverse(k_trans, trans_t, trans_score, t, dt,
                                         center=center,
-                                        noise_scale=noise_scale)
+                                        noise_scale=noise_scale,
+                                        z=noise.get('trans_z'))
         else:
             trans_t_1 = trans_t
         if c.diffuse_seq:
-            seq_t_1 = self.seq.reverse(k_seq, seq_t, logits_t, t, dt)
+            seq_t_1 = self.seq.reverse(k_seq, seq_t, logits_t, t, dt,
+                                       u=noise.get('seq_u'))
         else:
             seq_t_1 = seq_t
 

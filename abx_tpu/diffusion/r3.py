@@ -91,12 +91,18 @@ class R3Diffuser:
 
     def reverse(self, key, x_t, score_t, t, dt,
                 mask: Optional[jnp.ndarray] = None, center: bool = True,
-                noise_scale: float = 1.0):
-        """One Euler–Maruyama reverse step; x_t in Angstroms."""
+                noise_scale: float = 1.0, z: Optional[jnp.ndarray] = None):
+        """One Euler–Maruyama reverse step; x_t in Angstroms.
+
+        `z` optionally injects the standard-normal draw (shared-noise parity
+        harness); when None it is drawn from `key`.
+        """
         x_s = self.scale(x_t)
         g_t = self.diffusion_coef(t)
         f_t = self.drift_coef(x_s, t)
-        z = noise_scale * jax.random.normal(key, score_t.shape)
+        if z is None:
+            z = jax.random.normal(key, score_t.shape)
+        z = noise_scale * z
         noise_dt = dt if self.config.parity_dt_noise else jnp.sqrt(dt)
         perturb = (f_t - g_t**2 * score_t) * dt + g_t * noise_dt * z
 

@@ -77,7 +77,12 @@ class InvariantPointAttention(nn.Module):
                                     q_scalar * scalar_weights, k_scalar)
 
         # Point branch: layout (r n) -> points stored as 3 blocks; the
-        # frame application and distance terms below run in f32.
+        # frame application and distance terms below run in f32.  NB: the
+        # point PROJECTIONS run inside the fused matmul in the trunk dtype,
+        # so under bf16 the local point coordinates are bf16-quantized
+        # before the f32 frame application — measured quality-neutral at
+        # L~300 (runs/overfit_6ct7/bf16_kernel_eval.json); pull the point
+        # branches out of `fused_dense` if a future config regresses.
         q_point_local = q_point_local.astype(jnp.float32).reshape(
             b, l, 3, h * npq).transpose(0, 1, 3, 2)  # (b, l, h*npq, 3)
         kv_point_local = kv_point_local.astype(jnp.float32).reshape(

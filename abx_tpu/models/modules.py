@@ -8,6 +8,7 @@ the trunk can run bf16 on the MXU while parameters stay f32.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -110,6 +111,30 @@ def fused_dense(x, branches, dtype):
     return jnp.split(y, sizes, axis=-1)
 
 
+_LN_TWO_PASS = False
+
+
+@contextlib.contextmanager
+def two_pass_layer_norm():
+    """Trace-scoped guard: inside this context every `layer_norm` uses the
+    classic two-pass variance E[(x-mean)^2] instead of the fused one-pass
+    E[x^2]-E[x]^2.
+
+    The one-pass form reads x once (the right trade for the inference-hot
+    pair track) but suffers catastrophic cancellation when |mean| >> std —
+    a regime long training runs can enter (ADVICE r2).  The trainer wraps
+    its loss trace in this context, so training numerics use the robust
+    form while inference keeps the single-read fusion.
+    """
+    global _LN_TWO_PASS
+    prev = _LN_TWO_PASS
+    _LN_TWO_PASS = True
+    try:
+        yield
+    finally:
+        _LN_TWO_PASS = prev
+
+
 def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=jnp.float32):
     """Functional LayerNorm in f32 with one-pass moments.
 
@@ -117,11 +142,15 @@ def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=jnp.float32):
     read of x — the two-pass form costs an extra full traversal of the
     O(L^2 C) pair track per LayerNorm (profiled ~5 ms/step); f32
     accumulation keeps the cancellation benign at trunk magnitudes.
+    Training traces opt into the two-pass form via `two_pass_layer_norm`.
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    meansq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
-    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    if _LN_TWO_PASS:
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    else:
+        meansq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     out = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (out * scale + bias).astype(dtype)
 

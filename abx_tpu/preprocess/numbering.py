@@ -101,45 +101,132 @@ def _align_semiglobal(query: str, template: str,
     return pairs
 
 
+def _anchored_framework_fit(seq: str, tmpl_seq: str, tmpl_regions: str):
+    """Place the template's FRAMEWORK segments ungapped, in order, on `seq`.
+
+    Framework indels are biologically exceptional (IMGT frameworks are
+    fixed-length); modelling frameworks as rigid ungapped blocks makes every
+    CDR boundary exact by construction — the CDR is simply the query span
+    BETWEEN two placed frameworks.  This is immune to the NW tie that let a
+    CDR residue mimicking a conserved anchor (e.g. a CDR3 starting with C
+    next to 2nd-CYS) pull the boundary by one.
+
+    Returns (score, offsets, fr_segments) or None; offsets[k] is the query
+    start of framework k.
+    """
+    frs = []   # (region_char, tmpl_segment, following_cdr_len)
+    order = []
+    for c, r in zip(tmpl_seq, tmpl_regions):
+        if not order or order[-1][0] != r:
+            order.append([r, ''])
+        order[-1][1] += c
+    for idx, (r, s) in enumerate(order):
+        if r in '1234':
+            nxt = order[idx + 1][1] if idx + 1 < len(order) else ''
+            cdr_len = len(nxt) if idx + 1 < len(order) and \
+                order[idx + 1][0] in 'ABC' else 0
+            frs.append((r, s, cdr_len))
+
+    lq = len(seq)
+    match, mismatch, lam = 2.0, -1.0, 0.5
+    # Per-segment ungapped match profile over query offsets.
+    profiles = []
+    for _, s, _ in frs:
+        ls = len(s)
+        prof = np.full((lq - ls + 1,), -1e9)
+        for o in range(lq - ls + 1):
+            sc = 0.0
+            for a, b in zip(seq[o:o + ls], s):
+                sc += match if a == b else mismatch
+            prof[o] = sc
+        if prof.size == 0:
+            return None
+        profiles.append(prof)
+
+    # DP over segment placements with ordering + CDR-length prior.
+    n = len(frs)
+    best_prev = profiles[0].copy()          # f(0, o)
+    back = []
+    for k in range(1, n):
+        len_prev = len(frs[k - 1][1])
+        cdr_prior = frs[k - 1][2]
+        cur = np.full_like(profiles[k], -1e9)
+        arg = np.zeros(profiles[k].shape, dtype=np.int64)
+        for o in range(profiles[k].size):
+            lo_max = o - len_prev  # previous segment must END by o
+            if lo_max < 0:
+                continue
+            prev_slice = best_prev[:lo_max + 1]
+            gaps = o - (np.arange(lo_max + 1) + len_prev)
+            cand = prev_slice - lam * np.abs(gaps - cdr_prior)
+            j = int(np.argmax(cand))
+            cur[o] = cand[j] + profiles[k][o]
+            arg[o] = j
+        back.append(arg)
+        best_prev = cur
+
+    o_last = int(np.argmax(best_prev))
+    score = float(best_prev[o_last])
+    if score <= -1e8:
+        return None
+    offsets = [0] * n
+    offsets[-1] = o_last
+    for k in range(n - 1, 0, -1):
+        offsets[k - 1] = int(back[k - 1][offsets[k]])
+    return score, offsets, frs
+
+
 def _template_annotate(seq: str, chain: str) -> Optional[DomainAnnotation]:
     templates = ([_HEAVY_TEMPLATE] if chain == 'H'
                  else [_KAPPA_TEMPLATE, _LAMBDA_TEMPLATE])
     best = None
     for tmpl_seq, tmpl_regions in templates:
-        pairs = _align_semiglobal(seq, tmpl_seq)
-        if not pairs:
+        fit = _anchored_framework_fit(seq, tmpl_seq, tmpl_regions)
+        if fit is None:
             continue
-        n_match = sum(seq[qi] == tmpl_seq[ti] for qi, ti in pairs)
-        if best is None or n_match > best[0]:
-            best = (n_match, pairs, tmpl_seq, tmpl_regions)
+        if best is None or fit[0] > best[0]:
+            best = fit + (tmpl_seq,)
     if best is None:
         return None
-    n_match, pairs, tmpl_seq, tmpl_regions = best
-    if n_match < 0.3 * len(tmpl_seq):
+    score, offsets, frs, tmpl_seq = best
+    # Identity threshold over framework columns (the anchoring signal).
+    n_fr = sum(len(s) for _, s, _ in frs)
+    n_match = sum(1 for (_, s, _), o in zip(frs, offsets)
+                  for a, b in zip(seq[o:o + len(s)], s) if a == b)
+    if n_match < 0.45 * n_fr:
         return None  # not an antibody variable domain
 
-    start = pairs[0][0]
-    end = pairs[-1][0] + 1
+    start = offsets[0]
+    end = offsets[-1] + len(frs[-1][1])
     labels = np.full((end - start,), -1, dtype=np.int32)
-    for qi, ti in pairs:
-        labels[qi - start] = _REGION_TO_ENUM[tmpl_regions[ti]]
-    # Insertions (unaligned query positions): inherit the neighbour label,
-    # preferring the CDR side (insertions live in loops).
+    for (r, s, _), o in zip(frs, offsets):
+        labels[o - start:o - start + len(s)] = _REGION_TO_ENUM[r]
+    # Inter-framework spans ARE the CDRs: fr_k .. fr_{k+1} -> cdr_k.
+    for k in range(len(frs) - 1):
+        lo = offsets[k] + len(frs[k][1]) - start
+        hi = offsets[k + 1] - start
+        labels[lo:hi] = 2 * k + 1  # cdr1=1, cdr2=3, cdr3=5
+    if chain != 'H':
+        labels = labels + 7
+    return DomainAnnotation(start=start, end=end, cdr_def=labels)
+
+
+def _fill_neighbor_labels(labels: np.ndarray) -> None:
+    """In-place: unlabeled (-1) positions inherit a neighbour label,
+    preferring the CDR side (insertions live in loops).  Works for both
+    heavy (0-6) and light (+7 offset) label ranges via mod-7."""
     for k in range(len(labels)):
         if labels[k] == -1:
             left = labels[:k][labels[:k] >= 0]
             right = labels[k:][labels[k:] >= 0]
             lv = int(left[-1]) if left.size else -1
             rv = int(right[0]) if right.size else -1
-            if lv in (1, 3, 5):
+            if lv >= 0 and lv % 7 in (1, 3, 5):
                 labels[k] = lv
-            elif rv in (1, 3, 5):
+            elif rv >= 0 and rv % 7 in (1, 3, 5):
                 labels[k] = rv
             else:
                 labels[k] = lv if lv >= 0 else rv
-    if chain != 'H':
-        labels = labels + 7
-    return DomainAnnotation(start=start, end=end, cdr_def=labels)
 
 
 def _anarci_annotate(seq: str, chain: str) -> Optional[DomainAnnotation]:
@@ -176,13 +263,18 @@ ABNUM_URL = 'http://www.bioinf.org.uk/abs/abnum/abnum.cgi'
 
 
 def _parse_abnum_response(text: str, chain: str
-                          ) -> Optional[DomainAnnotation]:
+                          ) -> Optional[Tuple[np.ndarray, str]]:
     """Parse an AbNum (Chothia-numbering) response into region labels.
 
     AbNum returns one "<chain><number><ins> <aa>" pair per line (e.g.
     "H26 G"); the reference uses it as a remote last-resort when local
     ANARCI fails (numbering.py:8-42).  Chothia CDR windows: H1 26-32,
     H2 52-56, H3 95-102; L1 24-34, L2 50-56, L3 89-97.
+
+    Returns (labels, numbered_seq): region enums (chain offset applied) for
+    each numbered residue, plus the numbered subsequence itself so the
+    caller can anchor the domain within the full chain.  '-' rows (scheme
+    positions with no residue) carry no query residue and are skipped.
     """
     rows = []
     for line in text.splitlines():
@@ -213,7 +305,7 @@ def _parse_abnum_response(text: str, chain: str
         labels[i] = lab
     if chain != 'H':
         labels = labels + 7
-    return DomainAnnotation(start=0, end=len(rows), cdr_def=labels)
+    return labels, ''.join(aa for _, aa in rows)
 
 
 def _abnum_annotate(seq: str, chain: str,
@@ -241,13 +333,32 @@ def _abnum_annotate(seq: str, chain: str,
         text = fetch(f'{ABNUM_URL}?{query}')
     except Exception:
         return None
-    ann = _parse_abnum_response(text, chain)
-    if ann is None:
+    parsed = _parse_abnum_response(text, chain)
+    if parsed is None:
         return None
-    # AbNum numbers only the variable domain; locate it in the full chain.
-    # The numbered residues appear in order — find the domain span by its
-    # length anchored at the first residue AbNum reports.
-    return ann
+    labels, sub = parsed
+    # AbNum numbers only the variable domain; anchor it in the full chain so
+    # leading/trailing residues do not shift the CDR labels.
+    start = seq.find(sub)
+    if start >= 0:
+        return DomainAnnotation(start=start, end=start + len(sub),
+                                cdr_def=labels)
+    # Mid-domain residues AbNum could not number break contiguity: align the
+    # numbered subsequence into the chain and transfer labels through it,
+    # keeping placeholder labels for the unnumbered positions.
+    pairs = _align_semiglobal(seq, sub)
+    if not pairs:
+        return None
+    n_match = sum(seq[qi] == sub[ti] for qi, ti in pairs)
+    if n_match < 0.8 * len(sub):
+        return None  # response does not correspond to this chain
+    start = pairs[0][0]
+    end = pairs[-1][0] + 1
+    out = np.full((end - start,), -1, dtype=np.int32)
+    for qi, ti in pairs:
+        out[qi - start] = labels[ti]
+    _fill_neighbor_labels(out)
+    return DomainAnnotation(start=start, end=end, cdr_def=out)
 
 
 def annotate_domain(seq: str, chain: str,

@@ -36,6 +36,39 @@ from abx_tpu.models.network import (forward_with_recycling, get_prev,
                                     zero_prev)
 
 
+def _save_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Atomic npz save that round-trips bfloat16 (numpy would serialise
+    ml_dtypes bfloat16 as raw '|V2' void, which np.load cannot read back).
+    bf16 arrays are stored as uint16 views plus a `__bf16__<key>` marker."""
+    import ml_dtypes
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k] = v.view(np.uint16)
+            out['__bf16__' + k] = np.asarray(1)
+        else:
+            out[k] = v
+    tmp = path + '.tmp.npz'
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
+
+
+def _load_npz(path: str) -> Dict[str, np.ndarray]:
+    """Inverse of `_save_npz`: restores bf16 arrays from uint16 views."""
+    import ml_dtypes
+    saved = np.load(path, allow_pickle=False)
+    out = {}
+    for k in saved.files:
+        if k.startswith('__bf16__'):
+            continue
+        v = saved[k]
+        if '__bf16__' + k in saved.files:
+            v = v.view(ml_dtypes.bfloat16)
+        out[k] = v
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     num_t: int = 100
@@ -183,7 +216,9 @@ class Sampler:
                 return set_t_feats(mb, t)
 
             def step(carry, xs):
-                t, t_model, prime = xs
+                # 4th xs element: per-step injected noise dict (empty in
+                # production; filled by the shared-noise parity harness).
+                t, t_model, prime, step_noise = xs
                 state, key = carry
                 key, k_rev = jax.random.split(key)
                 mb = model_batch(state, t_model)
@@ -200,7 +235,8 @@ class Sampler:
                     folding['rot_score'], folding['trans_score'],
                     seq_head['logits'], t_rev, self.dt,
                     diffuse_mask=diffuse_mask, center=c.center,
-                    noise_scale=c.noise_scale)
+                    noise_scale=c.noise_scale,
+                    noise=step_noise if step_noise else None)
 
                 # Final step (t <= min_t): take the model's denoised output.
                 is_last = t <= c.min_t + 1e-8
@@ -230,14 +266,14 @@ class Sampler:
 
             return step
 
-        def run(params, esm_params, feats, key):
+        def run(params, esm_params, feats, key, noise):
             state, static, static_acts, diffuse_mask, k_scan = init(
                 params, feats, key)
             ts, ts_model, is_prime = self._step_grids()
             step = make_step(params, esm_params, static, static_acts,
                              diffuse_mask)
             (final_state, _), steps_out = jax.lax.scan(
-                step, (state, k_scan), (ts, ts_model, is_prime))
+                step, (state, k_scan), (ts, ts_model, is_prime, noise))
             if c.self_conditioning and self.reverse_steps.shape[0] > 0:
                 # Drop the prime step from collected outputs.
                 steps_out = jax.tree.map(lambda x: x[1:], steps_out)
@@ -284,10 +320,19 @@ class Sampler:
             is_prime = jnp.zeros_like(ts)
         return ts, ts_model, is_prime
 
-    def sample(self, params, feats: Dict[str, jnp.ndarray], key
+    def sample(self, params, feats: Dict[str, jnp.ndarray], key,
+               noise: Optional[Dict[str, jnp.ndarray]] = None
                ) -> Dict[str, jnp.ndarray]:
-        """Run the full reverse process for one (batched) feature dict."""
-        return self._run(params, self.esm_params, feats, key)
+        """Run the full reverse process for one (batched) feature dict.
+
+        `noise` optionally injects per-step primitive draws for the
+        shared-noise parity harness: a dict of arrays with leading dim
+        len(step grid) — i.e. num steps + 1 when the self-conditioning
+        prime step is on (slot 0 is consumed by the prime step's discarded
+        reverse; the final slot is likewise discarded by the take-denoised
+        last step).  Keys as in `JointDiffuser.reverse` noise.
+        """
+        return self._run(params, self.esm_params, feats, key, noise or {})
 
     # -- mid-trajectory checkpoint / resume ---------------------------------
     def sample_resumable(self, params, feats, key, chunk_steps: int = 20,
@@ -301,11 +346,14 @@ class Sampler:
 
         Determinism: identical inputs produce bitwise-identical results to
         `sample` up to chunked-scan compilation differences; the RNG chain
-        is part of the saved state.
+        is part of the saved state.  bfloat16 carries (the production bf16
+        trunk's prev_seq/prev_pair) round-trip through the npz as uint16
+        views with a dtype sidecar — numpy cannot natively serialise
+        ml_dtypes bfloat16.
 
-        Caveat: with `collect_trajectory`, a resumed run returns only the
-        steps from the resume point onward (earlier chunks' outputs died
-        with the previous process); final-state outputs are complete.
+        With `collect_trajectory`, completed chunks' per-step outputs are
+        persisted beside the state file (`<state_path>.traj`), so a resumed
+        run returns the FULL trajectory.
         """
         import numpy as onp
         c = self.config
@@ -313,19 +361,26 @@ class Sampler:
             params, feats, key)
         ts, ts_model, is_prime = self._step_grids()
         n = int(ts.shape[0])
+        traj_path = (state_path + '.traj') if state_path else None
 
         start = 0
+        outs = []
         if state_path and os.path.exists(state_path):
-            saved = onp.load(state_path, allow_pickle=False)
+            saved = _load_npz(state_path)
             start = int(saved['__chunk_pos__'])
             k_scan = jnp.asarray(saved['__key__'])
-            state = {k: jnp.asarray(saved[k]) for k in state}
+            state = {k: jnp.asarray(saved[k]).astype(state[k].dtype)
+                     for k in state}
+            if c.collect_trajectory and traj_path \
+                    and os.path.exists(traj_path):
+                prior = _load_npz(traj_path)
+                outs.append({k.split('/', 1)[1]: v for k, v in prior.items()
+                             if k.startswith('steps/')})
 
-        outs = []
         pos = start
         while pos < n:
             end = min(pos + chunk_steps, n)
-            xs = (ts[pos:end], ts_model[pos:end], is_prime[pos:end])
+            xs = (ts[pos:end], ts_model[pos:end], is_prime[pos:end], {})
             state, k_scan, steps_out = self._run_chunk(
                 params, self.esm_params, static, static_acts, diffuse_mask,
                 state, k_scan, xs)
@@ -335,16 +390,26 @@ class Sampler:
                 host = {k: onp.asarray(v) for k, v in state.items()}
                 host['__key__'] = onp.asarray(k_scan)
                 host['__chunk_pos__'] = onp.asarray(pos)
-                tmp = state_path + '.tmp.npz'
-                onp.savez(tmp, **host)
-                os.replace(tmp, state_path)
-        if state_path and os.path.exists(state_path):
-            os.remove(state_path)
+                if c.collect_trajectory and traj_path:
+                    acc = jax.tree.map(
+                        lambda *xs: onp.concatenate(xs, axis=0), *outs)
+                    _save_npz(traj_path,
+                              {'steps/' + k: v for k, v in acc.items()})
+                _save_npz(state_path, host)
+        for p in (state_path, traj_path):
+            if p and os.path.exists(p):
+                os.remove(p)
 
         steps_out = jax.tree.map(
             lambda *xs: onp.concatenate(xs, axis=0), *outs)
+        # With trajectory persistence the collected grid always starts at
+        # step 0 (restored from disk on resume), so the self-conditioning
+        # prime step is always present and dropped; without persistence a
+        # mid-grid resume starts past the prime step already.
+        has_step0 = (start == 0) or (c.collect_trajectory
+                                     and int(steps_out['t'].shape[0]) == n)
         skip = 1 if (c.self_conditioning
-                     and self.reverse_steps.shape[0] > 0 and start == 0) \
+                     and self.reverse_steps.shape[0] > 0 and has_step0) \
             else 0
         steps_out = jax.tree.map(lambda x: x[skip:], steps_out)
         last = jax.tree.map(lambda x: x[-1], steps_out)

@@ -97,6 +97,13 @@ class Trainer:
         model_config = self.model_config
 
         def loss_fn(params, batch, key):
+            # Robust two-pass LayerNorm variance for training numerics
+            # (trace-time scoped; inference keeps the fused one-pass form).
+            from abx_tpu.models.modules import two_pass_layer_norm
+            with two_pass_layer_norm():
+                return _loss_body(params, batch, key)
+
+        def _loss_body(params, batch, key):
             k_noise, k_drop, k_rec = jax.random.split(key, 3)
             batch = self.feature_builder(batch)
             batch = make_diffuser_features(
@@ -256,10 +263,35 @@ class Trainer:
         """Restore a full `.train` state saved by `_save`.
 
         `params` provides the target tree structure (and dtypes) for
-        msgpack restoration.
+        msgpack restoration.  With `use_orbax`, periodic checkpoints land
+        only in `<path>.orbax/` (the msgpack `.train` file is written at
+        clean exit), so a crashed run's newest state may live there: the
+        orbax state is restored whenever it is newer than the msgpack one
+        (ADVICE r2).
         """
         target = self.init_state(params)
-        state = ckpt_lib.load_params(checkpoint_path + '.train',
-                                     target=target)
+        msgpack_state = None
+        if os.path.exists(checkpoint_path + '.train'):
+            msgpack_state = ckpt_lib.load_params(checkpoint_path + '.train',
+                                                 target=target)
+        orbax_state = None
+        orbax_dir = checkpoint_path + '.orbax'
+        if os.path.isdir(orbax_dir) and ckpt_lib.orbax_available():
+            mgr = ckpt_lib.OrbaxCheckpointer(orbax_dir)
+            try:
+                latest = mgr.latest_step()
+                msg_step = (int(msgpack_state['step'])
+                            if msgpack_state is not None else -1)
+                if latest is not None and latest > msg_step:
+                    orbax_state = mgr.restore(target)
+                    logger.info(
+                        'resuming from orbax step %d (msgpack at %d)',
+                        latest, msg_step)
+            finally:
+                mgr.close()
+        state = orbax_state if orbax_state is not None else msgpack_state
+        if state is None:
+            raise FileNotFoundError(
+                f'no train state at {checkpoint_path}.train or {orbax_dir}')
         state['step'] = jnp.asarray(state['step'])
         return state

@@ -272,14 +272,41 @@ def _check_against_model(params, model, cfg, diffuser):
 
 # -- ESM2 ------------------------------------------------------------------
 
+class _TrackedDict(dict):
+    """Dict that records which keys were read (coverage accounting)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# Checkpoint entries that are legitimately NOT parameters of the encoder:
+# rotary inv_freq buffers, the contact-prediction head (regression over
+# attention maps; unused by embedding extraction), and fairseq bookkeeping.
+_ESM2_NONPARAM_KEYS = ('rot_emb.inv_freq', 'contact_head.',
+                       '_float_tensor', 'embed_positions.')
+
+
 def convert_esm2_ckpt(path: str, num_layers: int) -> Dict:
-    """fair-esm ESM2 checkpoint -> flax params for abx_tpu.models.esm.ESM2."""
+    """fair-esm ESM2 checkpoint -> flax params for abx_tpu.models.esm.ESM2.
+
+    Coverage is exhaustive both ways: every target param is filled (KeyError
+    otherwise) and every checkpoint tensor is either consumed or on the
+    known non-parameter allowlist — silently-dropped weights are an error.
+    Source surface: /root/reference/abx/model/encoder.py:21-34 loads the
+    same checkpoint via fair-esm `load_model_and_alphabet_local`.
+    """
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     sd = ckpt.get('model', ckpt)
-    sd = {k.replace('encoder.sentence_encoder.', '').replace('encoder.', '')
-          : (v.float().numpy() if hasattr(v, 'numpy') else v)
-          for k, v in sd.items()}
+    sd = _TrackedDict({
+        k.replace('encoder.sentence_encoder.', '').replace('encoder.', '')
+        : (v.float().numpy() if hasattr(v, 'numpy') else v)
+        for k, v in sd.items()})
 
     p: Dict[str, Any] = {
         'embed_tokens': {'embedding': np.asarray(sd['embed_tokens.weight'])},
@@ -307,4 +334,11 @@ def convert_esm2_ckpt(path: str, num_layers: int) -> Dict:
             'fc1': _linear(sd, f'{b}.fc1'),
             'fc2': _linear(sd, f'{b}.fc2'),
         }
+
+    unconsumed = [k for k in sd if k not in sd.consumed
+                  and not any(t in k for t in _ESM2_NONPARAM_KEYS)]
+    if unconsumed:
+        raise ValueError(
+            f'ESM2 conversion dropped {len(unconsumed)} checkpoint '
+            f'tensors: {sorted(unconsumed)[:10]}')
     return {'params': p}

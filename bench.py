@@ -2,13 +2,23 @@
 
 Protocol (BASELINE.md): full-size model (512/128ch trunk, 8-layer IPA, 2
 recycles + final pass per step), 100 reverse-diffusion steps per design,
-real complex 6ct7_H_L_S (L = 256+32 padded).  The reference publishes no
-throughput numbers (BASELINE.json published == {}), so `vs_baseline` is the
-ratio to a conservative A100 reference estimate of the same workload
-(100 steps x 3 trunk passes; measured PyTorch reference anchor recorded in
-BASELINE.md round over round).
+real complex 6ct7_H_L_S (L = 256+32 padded).  BOTH configurations run:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * `esm`    — ESM2-3B conditioning, 3 full ESM passes per diffusion step.
+               This is the reference's actual configuration
+               (/root/reference/abx/model/encoder.py:31, abx.py:89-102) and
+               therefore the HEADLINE number.  Random 3B-shape weights
+               (real weights absent here; throughput is weight-independent).
+  * `no_esm` — trunk-only ablation (tracked round over round in BASELINE.md).
+
+The reference publishes no throughput numbers (BASELINE.json published ==
+{}), so `vs_baseline` is the ratio to a conservative A100 estimate of the
+same workload.  Reported per config: samples/hr/chip, batch-aggregated
+steps/s (batch * num_t / elapsed — the ladder metric used in BASELINE.md),
+WALL-CLOCK scan steps/s (num_t / elapsed), and MFU from XLA's cost analysis
+against the chip's peak bf16 FLOPs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 from __future__ import annotations
@@ -34,20 +44,11 @@ A100_REFERENCE_SAMPLES_PER_HR = 257.0
 # estimate is the full ~40 s/sample => ~90 samples/hr.
 A100_REFERENCE_SAMPLES_PER_HR_ESM = 90.0
 
+# Peak dense bf16 throughput used for MFU; TPU v5e (v5 lite) = 197 TFLOP/s.
+PEAK_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', 197.0))
 
-def main():
-    num_t = int(os.environ.get('BENCH_NUM_T', 100))
-    batch = int(os.environ.get('BENCH_BATCH', 4))
-    bf16 = os.environ.get('BENCH_BF16', '1') == '1'
-    # ESM-on config: ESM2-3B *shape* with random weights (real weights are
-    # not in this environment; throughput/memory are weight-independent).
-    # 3 ESM passes per diffusion step, matching the reference hot loop.
-    esm = (os.environ.get('BENCH_ESM', '0') == '1'
-           or '--esm' in sys.argv[1:])
 
-    from abx_tpu.utils.compile_cache import enable as enable_compile_cache
-    enable_compile_cache()
-
+def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
@@ -67,19 +68,30 @@ def main():
     if not os.path.exists(pdb):
         pdb = '/root/reference/test_data/6ct7_H_L_S.pdb'
     ex = ds.complex_from_pdb(pdb, 'H', 'L', ['S'])
-    prep = ds.prepare_example(ex, rt.data_config)
-    feats, _ = prep
+    feats, _ = ds.prepare_example(ex, rt.data_config)
     feats = {k: np.repeat(v[None], batch, axis=0) for k, v in feats.items()}
 
     scfg = SamplerConfig(num_t=num_t, mode='design', generate_area='H3')
     sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                       esm_fn=rt.esm_fn, esm_params=rt.esm_params)
 
-    # Compile.
+    # Compile (persistent-cache warm when the code is unchanged).
     t0 = time.time()
     out = sampler.sample(rt.params, feats, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
     compile_s = time.time() - t0
+
+    # FLOPs of the full scanned program, from XLA's own cost analysis.
+    flops = None
+    try:
+        lowered = sampler._run.lower(
+            rt.params, rt.esm_params, feats, jax.random.PRNGKey(0), {})
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.0)) or None
+    except Exception:
+        pass
 
     # Steady state.
     reps = 2
@@ -90,25 +102,63 @@ def main():
     elapsed = (time.time() - t0) / reps
 
     samples_per_hr = batch / elapsed * 3600.0
-    steps_per_sec = batch * num_t / elapsed
+    detail = {
+        'samples_per_hr': round(samples_per_hr, 2),
+        # batch-aggregated (the BASELINE.md ladder metric): B * T / wall.
+        'batch_steps_per_sec': round(batch * num_t / elapsed, 2),
+        # wall-clock scan rate: T / wall.
+        'wall_steps_per_sec': round(num_t / elapsed, 2),
+        'batch': batch,
+        'num_t': num_t,
+        'compile_s': round(compile_s, 1),
+        'bf16': bf16,
+    }
+    if flops:
+        mfu = flops / elapsed / (PEAK_TFLOPS * 1e12)
+        detail['mfu'] = round(mfu, 4)
+        detail['tflops_per_step'] = round(flops / num_t / 1e12, 3)
+    return samples_per_hr, detail
 
+
+def main():
+    num_t = int(os.environ.get('BENCH_NUM_T', 100))
+    batch = int(os.environ.get('BENCH_BATCH', 4))
+    bf16 = os.environ.get('BENCH_BF16', '1') == '1'
+    # BENCH_ONLY=esm|no_esm restricts to one config (iteration/profiling).
+    only = os.environ.get('BENCH_ONLY', '')
+    if '--esm' in sys.argv[1:]:
+        only = 'esm'
+    if '--no-esm' in sys.argv[1:]:
+        only = 'no_esm'
+
+    from abx_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
+    results = {}
+    if only != 'esm':
+        sph, detail = _bench_config(False, num_t, batch, bf16)
+        detail['vs_baseline'] = round(sph / A100_REFERENCE_SAMPLES_PER_HR, 3)
+        results['no_esm'] = detail
+    if only != 'no_esm':
+        sph, detail = _bench_config(True, num_t, batch, bf16)
+        detail['vs_baseline'] = round(
+            sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
+        results['esm'] = detail
+
+    # Headline: the reference-equivalent (ESM-on) workload when it ran.
+    head_key = 'esm' if 'esm' in results else 'no_esm'
+    head = results[head_key]
     result = {
         'metric': 'design_samples_per_hour_per_chip',
-        'value': round(samples_per_hr, 2),
-        'unit': (f'samples/hr ({num_t}-step H3 design, L=288, '
+        'value': head['samples_per_hr'],
+        'unit': (f'samples/hr ({head["num_t"]}-step H3 design, L=288, '
                  f'{"bf16" if bf16 else "f32"} '
-                 f'{"ESM2-3B-conditioned" if esm else "no-ESM"} trunk)'),
-        'vs_baseline': round(
-            samples_per_hr / (A100_REFERENCE_SAMPLES_PER_HR_ESM if esm
-                              else A100_REFERENCE_SAMPLES_PER_HR), 3),
+                 f'{"ESM2-3B-conditioned" if head_key == "esm" else "no-ESM"}'
+                 ' trunk)'),
+        'vs_baseline': head['vs_baseline'],
         'detail': {
-            'steps_per_sec': round(steps_per_sec, 2),
-            'batch': batch,
-            'num_t': num_t,
-            'compile_s': round(compile_s, 1),
-            'bf16': bf16,
-            'esm': esm,
             'device': str(jax.devices()[0]),
+            'configs': results,
         },
     }
     print(json.dumps(result))

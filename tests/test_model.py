@@ -130,3 +130,37 @@ class TestForward:
         a = np.asarray(base['heads']['folding']['rigids'])[:, :-4]
         b = np.asarray(out2['heads']['folding']['rigids'])[:, :-4]
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+class TestLayerNormTwoPass:
+    def test_training_guard_improves_large_mean_accuracy(self):
+        """Inside `two_pass_layer_norm` the variance is computed as
+        E[(x-mean)^2]; with |mean| >> std the one-pass form loses precision
+        (ADVICE r2) while the two-pass form matches the f64 reference."""
+        import jax.numpy as jnp
+        from abx_tpu.models import modules
+
+        rng = np.random.RandomState(0)
+        x = (1e4 + 0.1 * rng.randn(4, 256)).astype(np.float32)
+        scale = np.ones((256,), np.float32)
+        bias = np.zeros((256,), np.float32)
+
+        x64 = x.astype(np.float64)
+        mean = x64.mean(-1, keepdims=True)
+        var = ((x64 - mean) ** 2).mean(-1, keepdims=True)
+        want = ((x64 - mean) / np.sqrt(var + 1e-5)).astype(np.float32)
+
+        one_pass = np.asarray(modules.layer_norm(
+            jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)))
+        with modules.two_pass_layer_norm():
+            two_pass = np.asarray(modules.layer_norm(
+                jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)))
+        # Guard restored after the context.
+        assert not modules._LN_TWO_PASS
+
+        # Measured: one-pass ~88.8 (catastrophic), two-pass ~0.009 (the
+        # residual comes from the f32 mean itself, not the variance form).
+        err_one = np.abs(one_pass - want).max()
+        err_two = np.abs(two_pass - want).max()
+        assert err_two < 0.05, err_two
+        assert err_two < err_one / 100

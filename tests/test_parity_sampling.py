@@ -1,0 +1,262 @@
+"""End-to-end sampling-trajectory parity vs the PyTorch reference under
+SHARED NOISE — the project's north-star correctness criterion (SURVEY.md §7
+Phase 5, BASELINE.md).
+
+Both sides run the COMPLETE reverse loop — self-conditioning prime step,
+per-step t features, score-network forward, joint SE(3) x sequence reverse,
+final take-denoised step — from the SAME initial noisy state with IDENTICAL
+per-step primitive noise:
+
+  * the initial (rigids_t, seq_t) is prepared once by the abx_tpu pipeline
+    and handed to the torch side verbatim (shared init noise, trivially);
+  * per-step Gaussian draws (SO3 geodesic z, R3 Euler-Maruyama z) are
+    pre-generated and injected: JAX side through `Sampler.sample(noise=...)`
+    (the production scan path), torch side by monkeypatching `torch.randn`
+    with a shape-checked queue;
+  * the sequence tau-leap Poisson jumps are drawn by inverse CDF from shared
+    uniforms on both sides (`discrete.poisson_counts_from_uniform`; the torch
+    `Poisson` class is monkeypatched with the same recurrence).
+
+The torch side runs the REAL reference loop: `inference.sample_fn`
+(/root/reference/inference.py:180-273) with `postprocess_trajectory`
+monkeypatched to capture instead of writing PDBs.  Weights are random,
+converted torch->JAX via the golden-tested converter.
+
+Pass criterion: per-step backbone deviation <= 0.1 A (north star; measured
+orders of magnitude lower) and IDENTICAL sequence jump sites at every step.
+"""
+
+import os
+import sys
+from collections import deque
+
+import numpy as np
+import pytest
+
+from tests.test_parity_network import (_install_stubs, _to_torch_batch,
+                                       HAS_REFERENCE)
+
+REFERENCE = '/root/reference'
+
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE,
+                                reason='reference not mounted')
+
+
+class _FakeArgs:
+    mode = 'trajectory'
+
+
+def _make_fake_randn(queue):
+    import torch
+
+    real_randn = torch.randn
+
+    def fake_randn(*args, size=None, device=None, **kw):
+        if size is None:
+            # Not a diffuser reverse draw (defensive); fall through.
+            return real_randn(*args, device=device, **kw)
+        arr = queue.popleft()
+        assert tuple(size) == arr.shape, (tuple(size), arr.shape)
+        return torch.tensor(arr, dtype=torch.float32)
+
+    return fake_randn
+
+
+def _make_fake_poisson(uqueue):
+    import torch
+
+    class FakePoisson:
+        """Inverse-CDF Poisson from shared uniforms; same recurrence as
+        abx_tpu.diffusion.discrete.poisson_counts_from_uniform."""
+
+        def __init__(self, rate):
+            self.rate = rate
+
+        def sample(self):
+            u = torch.tensor(uqueue.popleft(), dtype=torch.float32)
+            lam = self.rate.float()
+            term = torch.exp(-lam)
+            cdf = term.clone()
+            counts = (u > cdf).float()
+            for j in range(1, 16):
+                term = term * lam / j
+                cdf = cdf + term
+                counts = counts + (u > cdf).float()
+            return counts
+
+    return FakePoisson
+
+
+def run_shared_noise_parity(num_t, seed=0, make_models=None):
+    """Run both samplers under shared noise; return per-step deviations.
+
+    Returns dict with 'bb_dev' (num_t,) max backbone deviation per step in
+    Angstroms, 'seq_equal' (num_t,) bool, plus the final-step values.
+    """
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import json
+    import ml_collections
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(seed)
+
+    with open(os.path.join(REFERENCE, 'config/config_model.json')) as f:
+        ref_cfg = json.load(f)
+    ref_cfg['model']['embeddings_and_seqformer']['esm']['enabled'] = False
+    ref_cfg['model']['num_recycle'] = 0
+    ref_cfg['diffuser']['so3'].update(
+        num_omega=200, num_sigma=100, cache_dir='/tmp/ref_igso3',
+        use_cached_score=True)
+    ref_conf = ml_collections.ConfigDict(ref_cfg)
+
+    from diffuser.full_diffuser import FullDiffuser
+    from abx.model.abx import ScoreNetwork as RefScoreNetwork
+    ref_diffuser = FullDiffuser(ref_conf.diffuser)
+    ref_model = RefScoreNetwork(model_conf=ref_conf.model,
+                                diffuser=ref_diffuser)
+    ref_model.eval()
+
+    from abx_tpu.config import model_config
+    from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+    from abx_tpu.models.network import ScoreNetwork
+    from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+
+    cfg = model_config()
+    with cfg.unlocked():
+        cfg.model.num_recycle = 0
+        cfg.diffuser.so3.num_omega = 200
+        cfg.diffuser.so3.num_sigma = 100
+        cfg.diffuser.so3.cache_dir = '/tmp/igso3_test'
+        cfg.data.max_antibody_len = 224
+        cfg.data.max_antigen_len = 16
+    diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
+    model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                         antibody_len=cfg.data.max_antibody_len)
+
+    from abx_tpu.data import dataset as ds
+    from abx_tpu.data.dataset import DataConfig
+    ex = ds.complex_from_pdb('testdata/6ct7_H_L_S.pdb', 'H', 'L', ['S'])
+    feats, meta = ds.prepare_example(
+        ex, DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len))
+    feats = {k: jnp.asarray(v[None]) for k, v in feats.items()}
+
+    from abx_tpu.utils.torch_convert import convert_score_network
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_score_network(sd, esm_enabled=False)
+
+    # ---- abx_tpu side: production scan path with injected noise ----------
+    sampler = Sampler(model, diffuser, cfg.model,
+                      SamplerConfig(num_t=num_t, mode='trajectory',
+                                    generate_area='H3',
+                                    collect_trajectory=True))
+    key = jax.random.PRNGKey(seed)
+    state, static, static_acts, dmask, k_scan = sampler._init(
+        params, feats, key)
+
+    b, l = np.asarray(static['seq']).shape
+    n = int(sampler.reverse_steps.shape[0])
+    rng = np.random.RandomState(seed + 1)
+    rot_z = rng.standard_normal((n + 1, b, l, 3)).astype(np.float32)
+    trans_z = rng.standard_normal((n + 1, b, l, 3)).astype(np.float32)
+    seq_u = rng.random_sample((n + 1, b, l, 20)).astype(np.float32)
+    noise = {'rot_z': jnp.asarray(rot_z), 'trans_z': jnp.asarray(trans_z),
+             'seq_u': jnp.asarray(seq_u)}
+
+    out = sampler.sample(params, feats, key, noise=noise)
+    traj = jax.tree.map(np.asarray, out['trajectory'])
+
+    # ---- torch side: the REAL reference loop -----------------------------
+    import importlib
+    inference = importlib.import_module('inference')
+
+    torch_static = _to_torch_batch(
+        {k: v for k, v in static.items()
+         if not hasattr(v, 'rot') and k not in ('rigidgroups_gt_frames',
+                                                'rigidgroups_alt_gt_frames')},
+        model.antibody_len)
+    torch_static['rigids_t'] = (
+        torch.tensor(np.asarray(state['rigids_t']), dtype=torch.float32))
+    torch_static['seq_t'] = (
+        torch.tensor(np.asarray(state['seq_t'])).long())
+    # Reference pipeline ships coord masks as bool (dataset.py:159); the
+    # TMscore head fancy-indexes with them (head.py:135).
+    torch_static['atom14_gt_exists'] = (
+        torch_static['atom14_gt_exists'] > 0)
+
+    # Reference consumes per step (t > min_t): SO3 z then R3 z; our scan
+    # slot j covers scan iteration j (0 = prime, discarded; n = final,
+    # discarded) -> reference step k uses slot k+1.
+    zqueue = deque()
+    for k in range(n - 1):
+        zqueue.append(rot_z[k + 1])    # (B, L, 3), SO3 draw first
+        zqueue.append(trans_z[k + 1])  # then R3
+    uqueue = deque([seq_u[k + 1] for k in range(n - 1)])
+
+    captured = {}
+
+    def capture(batch, traj_list, args):
+        captured['batch'] = batch
+        captured['traj'] = traj_list
+
+    real_post = inference.postprocess_trajectory
+    real_randn = __import__('torch').randn
+    import torch.distributions.poisson as poisson_mod
+    real_poisson = poisson_mod.Poisson
+    inference.postprocess_trajectory = capture
+    torch.randn = _make_fake_randn(zqueue)
+    poisson_mod.Poisson = _make_fake_poisson(uqueue)
+    try:
+        with torch.no_grad():
+            inference.sample_fn(torch_static, ref_conf, ref_diffuser,
+                                ref_model, _FakeArgs(), num_t=num_t,
+                                min_t=0.01, center=True, self_condition=True,
+                                noise_scale=1.0)
+    finally:
+        inference.postprocess_trajectory = real_post
+        torch.randn = real_randn
+        poisson_mod.Poisson = real_poisson
+    assert not zqueue and not uqueue, 'reference consumed unexpected draws'
+
+    ref_traj = captured['traj']
+    assert len(ref_traj) == n
+
+    ab_len = model.antibody_len
+    bb_exists = np.asarray(static['atom14_gt_exists'])[0, :ab_len, :3] > 0
+    dmask_np = np.asarray(dmask)[0, :ab_len] > 0
+
+    bb_dev = np.zeros((n,))
+    seq_equal = np.zeros((n,), dtype=bool)
+    for k in range(n):
+        ref_atoms = ref_traj[k]['atom14_results'].detach().numpy()[0]
+        my_atoms = traj['atom14'][k, 0, :ab_len]
+        d = np.linalg.norm(my_atoms[:, :3] - ref_atoms[:, :3], axis=-1)
+        bb_dev[k] = d[bb_exists.any(-1)].max()
+        ref_seq = np.asarray(ref_traj[k]['seq'][0])
+        my_seq = np.clip(traj['seq'][k, 0, :ab_len], 0, 19)
+        seq_equal[k] = bool((ref_seq == my_seq).all())
+
+    return {
+        'bb_dev': bb_dev,
+        'seq_equal': seq_equal,
+        'n_diffused': int(dmask_np.sum()),
+        'final_bb_dev': bb_dev[-1],
+    }
+
+
+class TestSharedNoiseSamplingParity:
+    def test_full_loop_parity_tiny_T(self):
+        res = run_shared_noise_parity(num_t=8)
+        assert res['seq_equal'].all(), res['seq_equal']
+        assert res['final_bb_dev'] <= 0.1, res['bb_dev']
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    @pytest.mark.skipif(os.environ.get('ABX_SLOW_PARITY', '0') != '1',
+                        reason='set ABX_SLOW_PARITY=1 for the T=100 run')
+    def test_full_loop_parity_T100(self):
+        res = run_shared_noise_parity(num_t=100)
+        assert res['seq_equal'].all()
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']

@@ -239,7 +239,7 @@ class TestResumableSampling:
             params, feats, key)
         state, k_scan, _ = sampler._run_chunk(
             params, sampler.esm_params, static, static_acts, dmask, state,
-            k_scan, (ts[:3], ts_model[:3], is_prime[:3]))
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
         host = {k: np.asarray(v) for k, v in state.items()}
         host['__key__'] = np.asarray(k_scan)
         host['__chunk_pos__'] = np.asarray(3)
@@ -254,3 +254,111 @@ class TestResumableSampling:
         np.testing.assert_array_equal(np.asarray(resumed['seq']),
                                       np.asarray(want['seq']))
         assert not os.path.exists(state_path)  # cleaned up on completion
+
+    def test_bf16_npz_roundtrip(self):
+        """bfloat16 carries must survive the state-file round trip (numpy
+        serialises ml_dtypes bf16 as raw void otherwise)."""
+        import ml_dtypes
+        from abx_tpu.sampling.sampler import _load_npz, _save_npz
+        import tempfile
+        arrs = {
+            'prev_pair': np.arange(12, dtype=np.float32).reshape(3, 4)
+                           .astype(ml_dtypes.bfloat16),
+            'rigids_t': np.ones((2, 7), np.float32),
+            '__chunk_pos__': np.asarray(3),
+        }
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, 's.npz')
+            _save_npz(p, arrs)
+            back = _load_npz(p)
+        assert back['prev_pair'].dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            back['prev_pair'].astype(np.float32),
+            arrs['prev_pair'].astype(np.float32))
+        np.testing.assert_array_equal(back['rigids_t'], arrs['rigids_t'])
+        assert int(back['__chunk_pos__']) == 3
+
+    def test_bf16_resume(self, tiny_setup, tmp_path):
+        """Resume round-trips through disk with a bf16 trunk (the production
+        config): prev_seq/prev_pair carries are bfloat16 (ADVICE r2)."""
+        from abx_tpu.sampling.sampler import _save_npz
+        import ml_dtypes
+        cfg, diffuser, _, _, feats = tiny_setup
+        l_ab = cfg.data.max_antibody_len
+        model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                             antibody_len=l_ab, dtype=jnp.bfloat16)
+        init_batch = FeatureBuilder()(
+            {k: jnp.asarray(v) for k, v in feats.items()})
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(jax.random.PRNGKey(0), init_batch,
+                            compute_loss=True)
+        sampler = Sampler(model, diffuser, cfg.model,
+                          SamplerConfig(num_t=6, mode='design'))
+        key = jax.random.PRNGKey(11)
+        want = sampler.sample_resumable(params, feats, key, chunk_steps=3)
+
+        # Crash sim: one chunk, persist state (bf16 carries), resume.
+        state_path = str(tmp_path / 'bf16_state.npz')
+        ts, ts_model, is_prime = sampler._step_grids()
+        state, static, static_acts, dmask, k_scan = sampler._init(
+            params, feats, key)
+        assert state['prev_pair'].dtype == jnp.bfloat16
+        state, k_scan, _ = sampler._run_chunk(
+            params, sampler.esm_params, static, static_acts, dmask, state,
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
+        host = {k: np.asarray(v) for k, v in state.items()}
+        assert host['prev_pair'].dtype == ml_dtypes.bfloat16
+        host['__key__'] = np.asarray(k_scan)
+        host['__chunk_pos__'] = np.asarray(3)
+        _save_npz(state_path, host)
+
+        resumed = sampler.sample_resumable(params, feats, key,
+                                           chunk_steps=3,
+                                           state_path=state_path)
+        np.testing.assert_allclose(np.asarray(resumed['atom14']),
+                                   np.asarray(want['atom14']),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(resumed['seq']),
+                                      np.asarray(want['seq']))
+
+    def test_trajectory_resume_returns_full_trajectory(self, tiny_setup,
+                                                       tmp_path):
+        """With collect_trajectory, completed chunks persist beside the state
+        file so a resumed run returns ALL steps (round-2 caveat removed)."""
+        from abx_tpu.sampling.sampler import _save_npz
+        cfg, diffuser, model, params, feats = tiny_setup
+        sampler = Sampler(model, diffuser, cfg.model,
+                          SamplerConfig(num_t=6, mode='trajectory',
+                                        collect_trajectory=True))
+        key = jax.random.PRNGKey(5)
+        want = sampler.sample_resumable(params, feats, key, chunk_steps=3)
+        assert want['trajectory']['t'].shape[0] == 6
+
+        # Crash sim via the sampler's own persistence: first chunk, then
+        # save state + trajectory sidecar the way sample_resumable does.
+        state_path = str(tmp_path / 'traj_state.npz')
+        ts, ts_model, is_prime = sampler._step_grids()
+        state, static, static_acts, dmask, k_scan = sampler._init(
+            params, feats, key)
+        state, k_scan, steps_out = sampler._run_chunk(
+            params, sampler.esm_params, static, static_acts, dmask, state,
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
+        host = {k: np.asarray(v) for k, v in state.items()}
+        host['__key__'] = np.asarray(k_scan)
+        host['__chunk_pos__'] = np.asarray(3)
+        _save_npz(state_path, host)
+        acc = jax.tree.map(np.asarray, steps_out)
+        _save_npz(state_path + '.traj',
+                  {'steps/' + k: v for k, v in acc.items()})
+
+        resumed = sampler.sample_resumable(params, feats, key,
+                                           chunk_steps=3,
+                                           state_path=state_path)
+        assert resumed['trajectory']['t'].shape[0] == 6
+        np.testing.assert_allclose(
+            np.asarray(resumed['trajectory']['atom14']),
+            np.asarray(want['trajectory']['atom14']),
+            rtol=1e-5, atol=1e-5)
+        assert not os.path.exists(state_path + '.traj')
