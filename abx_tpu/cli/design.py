@@ -44,6 +44,9 @@ def main():
                    help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu')")
+    p.add_argument('--aot_dir', type=str, default=None,
+                   help='cache dir of AOT-exported sampler StableHLO '
+                        '(skip re-tracing on warm starts)')
     p.add_argument('--verbose', action='store_true')
     args = p.parse_args()
 
@@ -65,7 +68,8 @@ def main():
         rt, out_dir, args.mode, complexes, num_samples=args.num_samples,
         generate_area=args.generate_area, num_t=args.num_t,
         opt_steps=args.optimize_steps, seed=args.seed,
-        batch_samples=args.batch_samples, resume=args.resume)
+        batch_samples=args.batch_samples, resume=args.resume,
+        aot_dir=args.aot_dir)
 
 
 if __name__ == '__main__':

@@ -234,7 +234,7 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                  complexes, num_samples: int = 1, generate_area: str = 'H3',
                  num_t: Optional[int] = None, opt_steps: Sequence[int] = (),
                  seed: int = 42, batch_samples: Optional[int] = None,
-                 resume: bool = False):
+                 resume: bool = False, aot_dir: Optional[str] = None):
     """Main sampling driver.
 
     For throughput, up to `batch_samples` independent samples of one complex
@@ -257,8 +257,14 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                                      else 'design')),
             opt_step=opt_step, generate_area=generate_area,
             collect_trajectory=(mode_name == 'trajectory'))
-        return Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
-                       esm_fn=runtime.esm_fn, esm_params=runtime.esm_params)
+        sampler = Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
+                          esm_fn=runtime.esm_fn,
+                          esm_params=runtime.esm_params)
+        if aot_dir:
+            # Serve from serialized StableHLO exports: warm processes skip
+            # Python re-tracing (Sampler.enable_aot).
+            sampler.enable_aot(aot_dir)
+        return sampler
 
     os.makedirs(output_dir, exist_ok=True)
     ref_dir = os.path.join(output_dir, 'reference')

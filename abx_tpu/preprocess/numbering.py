@@ -133,6 +133,8 @@ def _anchored_framework_fit(seq: str, tmpl_seq: str, tmpl_regions: str):
     profiles = []
     for _, s, _ in frs:
         ls = len(s)
+        if lq < ls:
+            return None  # query shorter than a framework segment
         prof = np.full((lq - ls + 1,), -1e9)
         for o in range(lq - ls + 1):
             sc = 0.0

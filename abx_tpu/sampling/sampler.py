@@ -332,7 +332,54 @@ class Sampler:
         reverse; the final slot is likewise discarded by the take-denoised
         last step).  Keys as in `JointDiffuser.reverse` noise.
         """
+        if getattr(self, '_aot_dir', None) and not noise:
+            return self._aot_call(params, feats, key, None)
         return self._run(params, self.esm_params, feats, key, noise or {})
+
+    # -- AOT export / load --------------------------------------------------
+    def enable_aot(self, cache_dir: str) -> None:
+        """Serve from serialized StableHLO exports under `cache_dir`.
+
+        First call for a given (mode, grid, shapes, dtype) signature traces
+        + exports + serializes; subsequent PROCESSES deserialize the blob
+        and skip Python tracing entirely (minutes for the full model on a
+        slow host).  Combined with the persistent XLA compile cache this
+        makes a warm start deserialize-and-load.
+        """
+        self._aot_dir = cache_dir
+        self._aot: Dict[str, Any] = {}
+
+    def _aot_signature(self, feats) -> str:
+        import hashlib
+        c = self.config
+        shapes = ','.join(
+            f'{k}:{tuple(np.shape(v))}:{np.asarray(v).dtype}'
+            for k, v in sorted(feats.items()))
+        sig = (f'{c.mode}|{c.num_t}|{c.min_t}|{c.generate_area}|'
+               f'{c.opt_step}|{c.collect_trajectory}|{c.noise_scale}|'
+               f'{c.center}|{self.model.dtype}|'
+               f'{self.esm_fn is not None}|{shapes}')
+        return hashlib.sha1(sig.encode()).hexdigest()[:16]
+
+    def _aot_call(self, params, feats, key, noise):
+        h = self._aot_signature(feats)
+        fn = self._aot.get(h)
+        if fn is None:
+            path = os.path.join(self._aot_dir, f'sampler_{h}.stablehlo')
+            if os.path.exists(path):
+                with open(path, 'rb') as f:
+                    exported = jax.export.deserialize(f.read())
+            else:
+                exported = jax.export.export(self._run)(
+                    params, self.esm_params, feats, key, noise or {})
+                os.makedirs(self._aot_dir, exist_ok=True)
+                tmp = path + '.tmp'
+                with open(tmp, 'wb') as f:
+                    f.write(exported.serialize())
+                os.replace(tmp, path)
+            fn = exported.call
+            self._aot[h] = fn
+        return fn(params, self.esm_params, feats, key, noise or {})
 
     # -- mid-trajectory checkpoint / resume ---------------------------------
     def sample_resumable(self, params, feats, key, chunk_steps: int = 20,

@@ -189,7 +189,13 @@ def ctmc_elbo_terms(batch: Dict, log_p, eps: float) -> Dict:
     p_sigma = p0t[bi, sigma]                                 # (B, S)
     ratio = qt0[bi, :, m] / (qt0[bi, :, n_til] + eps)        # (B, S)
     rev_jump = rate[bi, m, n_til] * jnp.sum(p_sigma * ratio, axis=-1)
-    log_rev = jnp.log(rev_jump + eps)
+    # When the forward corruption was reverted by the diffuse mask
+    # (has_jump == 0) m == n_til and rate[m, m] < 0: log would be NaN and
+    # 0 * NaN poisons the reported value (the gradient is unaffected —
+    # multiplication VJP routes through has_jump=0 — but the loss scalar
+    # and every metric derived from it become NaN).  Substitute 1 inside
+    # the log at masked examples.
+    log_rev = jnp.log(jnp.where(has_jump > 0, rev_jump, 1.0) + eps)
     # Z(x_t): total forward outflow from x_t over diffused sites.
     # rate_out[b,d,y] = R(x_t[b,d] -> y).
     rate_out = jnp.take_along_axis(rate, x_t[:, :, None], axis=1)

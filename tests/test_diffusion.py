@@ -446,3 +446,37 @@ class TestExactELBO:
         assert np.all(np.isfinite(np.asarray(g)))
         out = diffusion_seq_loss(batch, {'logits': jnp.asarray(logits)}, cfg)
         assert 'elbo' in out and 'elbo_jump' in out
+
+
+class TestExactELBONoJump:
+    def test_reverted_corruption_is_finite(self):
+        """When the diffuse mask reverts the forward corruption
+        (x_tilde == x_t everywhere), the jump term must be 0 and the ELBO
+        finite — 0 * log(negative diagonal rate) used to propagate NaN into
+        every reported loss (round-3 fix in ctmc_elbo_terms)."""
+        import jax
+        import jax.numpy as jnp
+        from abx_tpu.train.losses import ctmc_elbo_terms
+        rng = np.random.RandomState(3)
+        b, d, s = 2, 6, 5
+        c_rate = 0.3
+        t = rng.uniform(0.2, 0.8, (b,)).astype(np.float32)
+        decay = np.exp(-c_rate * s * t)
+        qt0 = (np.full((b, s, s), 1.0 / s)
+               + decay[:, None, None] * (np.eye(s) - 1.0 / s))
+        rate = np.tile(c_rate * (np.ones((s, s)) - np.eye(s)), (b, 1, 1))
+        rate -= np.eye(s) * rate.sum(-1, keepdims=True)
+        x = rng.randint(0, s, (b, d)).astype(np.int32)
+        batch = {
+            'seq_t': jnp.asarray(x), 'seq_xt': jnp.asarray(x),
+            'seq': jnp.asarray(rng.randint(0, s, (b, d)), jnp.int32),
+            'q_t0': jnp.asarray(qt0, jnp.float32),
+            'rate_t': jnp.asarray(rate, jnp.float32),
+            'fixed_mask': jnp.zeros((b, d), jnp.int32),
+            'mask': jnp.ones((b, d), jnp.float32),
+        }
+        logits = jnp.asarray(rng.randn(b, d, s).astype(np.float32))
+        log_p = jax.nn.log_softmax(logits, -1)
+        out = jax.tree.map(float, ctmc_elbo_terms(batch, log_p, 1e-9))
+        assert np.isfinite(out['elbo']), out
+        assert out['jump'] == 0.0, out

@@ -362,3 +362,34 @@ class TestResumableSampling:
             np.asarray(want['trajectory']['atom14']),
             rtol=1e-5, atol=1e-5)
         assert not os.path.exists(state_path + '.traj')
+
+
+class TestAotSampler:
+    def test_aot_export_load_matches_jit(self, tiny_setup, tmp_path):
+        """enable_aot: first call exports StableHLO, a FRESH sampler loads
+        the blob (no retrace) and reproduces the jitted output."""
+        cfg, diffuser, model, params, feats = tiny_setup
+        scfg = SamplerConfig(num_t=3, mode='design')
+        key = jax.random.PRNGKey(4)
+
+        plain = Sampler(model, diffuser, cfg.model, scfg)
+        want = plain.sample(params, feats, key)
+
+        aot_dir = str(tmp_path / 'aot')
+        s1 = Sampler(model, diffuser, cfg.model, scfg)
+        s1.enable_aot(aot_dir)
+        got1 = s1.sample(params, feats, key)
+        blobs = os.listdir(aot_dir)
+        assert len(blobs) == 1 and blobs[0].endswith('.stablehlo')
+
+        s2 = Sampler(model, diffuser, cfg.model, scfg)
+        s2.enable_aot(aot_dir)
+        got2 = s2.sample(params, feats, key)
+        assert os.listdir(aot_dir) == blobs  # reused, not re-exported
+
+        for got in (got1, got2):
+            np.testing.assert_allclose(np.asarray(got['atom14']),
+                                       np.asarray(want['atom14']),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(got['seq']),
+                                          np.asarray(want['seq']))

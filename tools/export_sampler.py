@@ -60,7 +60,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     exported = jax.export.export(sampler._run)(
-        rt.params, sampler.esm_params, feats, key)
+        rt.params, sampler.esm_params, feats, key, {})
     blob = exported.serialize()
     with open(args.out, 'wb') as f:
         f.write(blob)
@@ -71,7 +71,8 @@ def main():
         t0 = time.time()
         rehydrated = jax.export.deserialize(
             open(args.out, 'rb').read())
-        out2 = rehydrated.call(rt.params, sampler.esm_params, feats, key)
+        out2 = rehydrated.call(rt.params, sampler.esm_params, feats, key,
+                               {})
         out1 = sampler.sample(rt.params, feats, key)
         np.testing.assert_allclose(np.asarray(out1['atom14']),
                                    np.asarray(out2['atom14']),

@@ -34,6 +34,9 @@ def main():
     p.add_argument('--generate_area', type=str, default='H3',
                    help="'H3' or 'cdr' (all six CDRs co-design)")
     p.add_argument('--tiny', action='store_true')
+    p.add_argument('--exact_elbo', action='store_true',
+                   help='train the sequence loss with the exact tau-leaping '
+                        'CTMC ELBO instead of the CE surrogate')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--out', type=str,
                    default=os.path.join(REPO, 'runs', 'overfit_6ct7'))
@@ -53,6 +56,9 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     rt = runner.build_runtime(None, None, tiny=args.tiny, seed=0)
+    if args.exact_elbo:
+        with rt.config.unlocked():
+            rt.config.loss.diffusion_seq.config.exact_elbo = True
 
     pdb = os.path.join(REPO, 'testdata', '6ct7_H_L_S.pdb')
     ex = ds.complex_from_pdb(pdb, 'H', 'L', ['S'])
@@ -104,6 +110,7 @@ def main():
 
     result = {
         'steps': args.steps,
+        'exact_elbo': args.exact_elbo,
         'generate_area': args.generate_area,
         'h3_rmsd_best': min(r['h3_rmsd'] for r in rows),
         'h3_rmsd_mean': float(np.mean([r['h3_rmsd'] for r in rows])),
