@@ -87,7 +87,7 @@ def _make_fake_poisson(uqueue):
     return FakePoisson
 
 
-def run_shared_noise_parity(num_t, seed=0, make_models=None):
+def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     """Run both samplers under shared noise; return per-step deviations.
 
     Returns dict with 'bb_dev' (num_t,) max backbone deviation per step in
@@ -151,7 +151,7 @@ def run_shared_noise_parity(num_t, seed=0, make_models=None):
     # ---- abx_tpu side: production scan path with injected noise ----------
     sampler = Sampler(model, diffuser, cfg.model,
                       SamplerConfig(num_t=num_t, mode='trajectory',
-                                    generate_area='H3',
+                                    generate_area=generate_area,
                                     collect_trajectory=True))
     key = jax.random.PRNGKey(seed)
     state, static, static_acts, dmask, k_scan = sampler._init(
@@ -249,7 +249,9 @@ def run_shared_noise_parity(num_t, seed=0, make_models=None):
 
 class TestSharedNoiseSamplingParity:
     def test_full_loop_parity_tiny_T(self):
-        res = run_shared_noise_parity(num_t=8)
+        # all-six-CDR co-design: 42 diffused sites on this complex (vs 4
+        # for H3) — the widest wiring surface per unit runtime.
+        res = run_shared_noise_parity(num_t=8, generate_area='cdr')
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['final_bb_dev'] <= 0.1, res['bb_dev']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
