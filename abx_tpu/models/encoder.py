@@ -36,6 +36,19 @@ class TokenEmbedding(nn.Module):
         return out
 
 
+class TokenEmbeddingParams(nn.Module):
+    """Declares a TokenEmbedding table without the gather (for fused
+    kernels); param tree identical to `TokenEmbedding` under the same
+    name."""
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('embedding', nn.initializers.normal(stddev=1.0),
+                          (self.num_embeddings, self.features))
+
+
 class ResidueEmbedding(nn.Module):
     """Per-residue structural encoder (encoder.py:123-174)."""
     seq_channel: int

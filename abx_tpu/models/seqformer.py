@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from abx_tpu.common import residue_constants as rc
 from abx_tpu.models.encoder import (PairEmbedding, ResidueEmbedding,
-                                    TokenEmbedding)
+                                    TokenEmbedding, TokenEmbeddingParams)
 from abx_tpu.models.modules import (MLP, LayerNorm, Linear, LinearParams,
                                     fused_dense, get_timestep_embedding,
                                     shared_dropout)
@@ -515,15 +515,17 @@ class EmbeddingAndSeqformer(nn.Module):
             dgram_min_bin=c.prev_pos.min_bin,
             dgram_max_bin=c.prev_pos.max_bin,
             dtype=self.dtype)
-        self.t_embedder = TimestepEmbedder(c.index_embed_size,
-                                           dtype=self.dtype)
+        pair_full = c.pair_channel + 2 * c.index_embed_size
         if c.recycle_features:
             self.prev_seq_norm = LayerNorm(dtype=self.dtype)
-            self.prev_pair_norm = LayerNorm(dtype=self.dtype)
+            # Params-only declaration (identical tree to LayerNorm) so the
+            # fused recycle kernel can consume scale/bias directly.
+            from abx_tpu.models.modules import LayerNormParams
+            self.prev_pair_norm_p = LayerNormParams(pair_full,
+                                                    name='prev_pair_norm')
         if c.recycle_pos:
-            self.proj_prev_pos = TokenEmbedding(
-                c.prev_pos.num_bins,
-                c.pair_channel + 2 * c.index_embed_size, dtype=self.dtype)
+            self.proj_prev_pos_p = TokenEmbeddingParams(
+                c.prev_pos.num_bins, pair_full, name='proj_prev_pos')
         self.seqformer = Seqformer(c, dtype=self.dtype)
 
     def _rel_pos_ids(self, pos):
@@ -605,15 +607,43 @@ class EmbeddingAndSeqformer(nn.Module):
         seq_act = seq_act + static_acts['static_seq']
         pair_act = static_acts['static_pair']
 
-        seq_act, pair_act = self.t_embedder(seq_act, pair_act, batch['t'])
-
+        t_embed = get_timestep_embedding(
+            batch['t'], c.index_embed_size).astype(self.dtype)
+        seq_act = jnp.concatenate(
+            [seq_act, jnp.tile(t_embed[:, None, :], (1, l, 1))], axis=-1)
         if c.recycle_features and 'prev_seq' in batch:
             seq_act = seq_act + self.prev_seq_norm(batch['prev_seq'])
-        if c.recycle_features and 'prev_pair' in batch:
-            pair_act = pair_act + self.prev_pair_norm(batch['prev_pair'])
-        if c.recycle_pos and 'prev_pos' in batch:
-            pair_act = pair_act + self.proj_prev_pos(
+
+        from abx_tpu.models.modules import layer_norm
+        from abx_tpu.ops.registry import use_fused_recycle_embed
+        fused_recycle = (
+            c.recycle_features and c.recycle_pos and deterministic
+            and 'prev_pair' in batch and 'prev_pos' in batch
+            and pair_act.ndim == 4 and jax.default_backend() == 'tpu'
+            and use_fused_recycle_embed())
+        if fused_recycle:
+            # One VMEM pass assembles the full pair input (concat + LN +
+            # dgram embed + adds) — see ops/recycle_embed.py.
+            from abx_tpu.ops.recycle_embed import recycle_embed
+            scale, ln_bias = self.prev_pair_norm_p()
+            table = self.proj_prev_pos_p()
+            pair_act = recycle_embed(
+                pair_act, jnp.concatenate([t_embed, t_embed], axis=-1),
+                batch['prev_pair'], scale, ln_bias, table,
                 batch['prev_pos'].astype(jnp.int32))
+        else:
+            pair_t = jnp.tile(t_embed[:, None, None, :], (1, l, l, 1))
+            pair_act = jnp.concatenate(
+                [pair_act, pair_t, pair_t], axis=-1)
+            if c.recycle_features and 'prev_pair' in batch:
+                scale, ln_bias = self.prev_pair_norm_p()
+                pair_act = pair_act + layer_norm(
+                    batch['prev_pair'], scale, ln_bias, dtype=self.dtype)
+            if c.recycle_pos and 'prev_pos' in batch:
+                table = self.proj_prev_pos_p()
+                pair_act = pair_act + jnp.take(
+                    table, batch['prev_pos'].astype(jnp.int32),
+                    axis=0).astype(self.dtype)
 
         seq_act, pair_act = self.seqformer(seq_act, pair_act, mask,
                                            deterministic=deterministic)

@@ -72,3 +72,11 @@ def use_gate_proj_kernel() -> bool:
     prologue and the residual add into its epilogue, so the kernel only
     adds dispatch overhead (measured 46.5 vs 48.4 steps/s)."""
     return os.environ.get('ABX_GATE_PROJ_KERNEL', '0') == '1'
+
+
+def use_fused_recycle_embed() -> bool:
+    """Fused pair-track recycling assembly: concat(static, t) +
+    LN(prev_pair) + dgram-table[bins] in one VMEM pass (TPU inference).
+    Replaces ~10 ms/step of gather + LN reductions + add traversals of the
+    127 MB pair tensor (round-3 profile)."""
+    return os.environ.get('ABX_FUSED_RECYCLE', '1') == '1'

@@ -34,26 +34,31 @@ except ImportError:  # pragma: no cover
 
 def _kernel(left_ref, right_ref, out_ref, acc_ref, *, n_k: int,
             per_row: bool):
-    """Grid (B, nI, nJ, nK); accumulate over the k axis in f32 scratch."""
-    k_idx = pl.program_id(3)
+    """Grid (B, nI, nJ, nC, nK); accumulate over the k axis in f32 scratch.
+
+    Channel blocking (the 4th grid dim) keeps the per-program footprint
+    inside the 16 MB scoped-VMEM budget at production shape — the
+    unblocked variant overflowed (19.5M/16M) inside the full sampler.
+    """
+    k_idx = pl.program_id(4)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    lk = left_ref[0]    # per_row: (TI, TK, C); per_col: (TK, TI, C)
-    rk = right_ref[0]   # per_row: (TJ, TK, C); per_col: (TK, TJ, C)
+    lk = left_ref[0]    # per_row: (TI, TK, CB); per_col: (TK, TI, CB)
+    rk = right_ref[0]   # per_row: (TJ, TK, CB); per_col: (TK, TJ, CB)
     # Mosaic requires matmul batch dims at position 0: move channels first.
     if per_row:
-        lc = jnp.transpose(lk, (2, 0, 1))   # (C, TI, TK)
-        rc = jnp.transpose(rk, (2, 0, 1))   # (C, TJ, TK)
+        lc = jnp.transpose(lk, (2, 0, 1))   # (CB, TI, TK)
+        rc = jnp.transpose(rk, (2, 0, 1))   # (CB, TJ, TK)
     else:
-        lc = jnp.transpose(lk, (2, 1, 0))   # (C, TI, TK)
-        rc = jnp.transpose(rk, (2, 1, 0))   # (C, TJ, TK)
+        lc = jnp.transpose(lk, (2, 1, 0))   # (CB, TI, TK)
+        rc = jnp.transpose(rk, (2, 1, 0))   # (CB, TJ, TK)
     dn = (((2,), (2,)), ((0,), (0,)))       # contract k, batch c
     prod = jax.lax.dot_general(lc, rc, dimension_numbers=dn,
                                preferred_element_type=jnp.float32)
-    acc_ref[...] += prod  # (C, TI, TJ)
+    acc_ref[...] += prod  # (CB, TI, TJ)
 
     @pl.when(k_idx == n_k - 1)
     def _():
@@ -71,10 +76,18 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=('per_row', 'tile', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('per_row', 'tile', 'c_block',
+                                             'interpret'))
 def triangle_multiply_pallas(left, right, per_row: bool = True,
-                             tile: int = 128, interpret: bool = False):
-    """Pallas path; left/right (B, L, L, C) -> (B, L, L, C)."""
+                             tile: int = 96, c_block: int = 128,
+                             interpret: bool = False):
+    """Pallas path; left/right (B, L, L, C) -> (B, L, L, C).
+
+    Layout-native: consumes and produces the {3,2,1,0} (B, L, L, C) layout
+    the surrounding kernels use, so XLA emits NO transpose copies around
+    the contraction (profiled ~6-7 ms/step of copies on the einsum path at
+    B=4, L=288).  tile=96 divides 288 exactly; channels are grid-blocked.
+    """
     if not _HAS_PLTPU:
         raise RuntimeError(
             'pallas TPU backend unavailable; use triangle_multiply() which '
@@ -85,37 +98,47 @@ def triangle_multiply_pallas(left, right, per_row: bool = True,
     rp = _pad_to(_pad_to(right, 1, tile), 2, tile)
     lpad = lp.shape[1]
     n_t = lpad // tile
+    cb = min(c_block, c)
+    n_c = -(-c // cb)
+    if c % cb:
+        pad = [(0, 0)] * 3 + [(0, n_c * cb - c)]
+        lp, rp = jnp.pad(lp, pad), jnp.pad(rp, pad)
 
     if per_row:
         # left tiles over (i, k), right tiles over (j, k).
-        left_spec = pl.BlockSpec((1, tile, tile, c),
-                                 lambda bb, i, j, k: (bb, i, k, 0))
-        right_spec = pl.BlockSpec((1, tile, tile, c),
-                                  lambda bb, i, j, k: (bb, j, k, 0))
+        left_spec = pl.BlockSpec((1, tile, tile, cb),
+                                 lambda bb, i, j, cc, k: (bb, i, k, cc))
+        right_spec = pl.BlockSpec((1, tile, tile, cb),
+                                  lambda bb, i, j, cc, k: (bb, j, k, cc))
     else:
-        left_spec = pl.BlockSpec((1, tile, tile, c),
-                                 lambda bb, i, j, k: (bb, k, i, 0))
-        right_spec = pl.BlockSpec((1, tile, tile, c),
-                                  lambda bb, i, j, k: (bb, k, j, 0))
+        left_spec = pl.BlockSpec((1, tile, tile, cb),
+                                 lambda bb, i, j, cc, k: (bb, k, i, cc))
+        right_spec = pl.BlockSpec((1, tile, tile, cb),
+                                  lambda bb, i, j, cc, k: (bb, k, j, cc))
 
     kernel = functools.partial(_kernel, n_k=n_t, per_row=per_row)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
+        # tile=96, full-C blocks need ~20 MB scoped VMEM — above the 16 MB
+        # default, comfortably below the chip's 128 MB (the channel grid
+        # dim is for C > 128; blocks narrower than the 128-lane C are
+        # illegal in this layout).
         kwargs['compiler_params'] = pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel',
-                                 'arbitrary'))
+                                 'parallel', 'arbitrary'),
+            vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_t, n_t, n_t),
+        grid=(b, n_t, n_t, n_c, n_t),
         in_specs=[left_spec, right_spec],
-        out_specs=pl.BlockSpec((1, tile, tile, c),
-                               lambda bb, i, j, k: (bb, i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, lpad, lpad, c), dtype),
-        scratch_shapes=[pltpu.VMEM((c, tile, tile), jnp.float32)],
+        out_specs=pl.BlockSpec((1, tile, tile, cb),
+                               lambda bb, i, j, cc, k: (bb, i, j, cc)),
+        out_shape=jax.ShapeDtypeStruct((b, lpad, lpad, n_c * cb), dtype),
+        scratch_shapes=[pltpu.VMEM((cb, tile, tile), jnp.float32)],
         interpret=interpret,
         **kwargs,
     )(lp, rp)
-    return out[:, :l, :l, :]
+    return out[:, :l, :l, :c]
 
 
 def triangle_multiply_einsum(left, right, per_row: bool = True):
@@ -128,6 +151,10 @@ def triangle_multiply(left, right, per_row: bool = True,
                       use_pallas: bool = False, interpret: bool = False):
     """Dispatch: pallas kernel on TPU when enabled, einsum otherwise."""
     if use_pallas and _HAS_PLTPU:
+        import os
+        tile = int(os.environ.get('ABX_TRIANGLE_TILE', 96))
+        cb = int(os.environ.get('ABX_TRIANGLE_CBLOCK', 128))
         return triangle_multiply_pallas(left, right, per_row=per_row,
+                                        tile=tile, c_block=cb,
                                         interpret=interpret)
     return triangle_multiply_einsum(left, right, per_row=per_row)

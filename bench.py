@@ -117,6 +117,15 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
         mfu = flops / elapsed / (PEAK_TFLOPS * 1e12)
         detail['mfu'] = round(mfu, 4)
         detail['tflops_per_step'] = round(flops / num_t / 1e12, 3)
+    # HBM high-water mark (memory-fit argument for multi-chip projections,
+    # BASELINE.md); not all backends expose stats.
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get('peak_bytes_in_use') or stats.get('bytes_in_use')
+        if peak:
+            detail['hbm_peak_gb'] = round(peak / 2**30, 2)
+    except Exception:
+        pass
     return samples_per_hr, detail
 
 

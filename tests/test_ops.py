@@ -275,3 +275,55 @@ class TestGateProjResidual:
             np.testing.assert_allclose(np.asarray(res),
                                        np.asarray(x + delta),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestRecycleEmbed:
+    def test_interpret_matches_reference(self):
+        from abx_tpu.ops.recycle_embed import (recycle_embed,
+                                               recycle_embed_reference)
+        rng = np.random.RandomState(0)
+        b, l, c0, c1, nb = 2, 24, 16, 8, 15
+        c = c0 + 2 * c1
+        static = rng.randn(b, l, l, c0).astype(np.float32)
+        tvec = rng.randn(b, 2 * c1).astype(np.float32)
+        prev = rng.randn(b, l, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        bias = rng.randn(c).astype(np.float32)
+        table = rng.randn(nb, c).astype(np.float32)
+        bins = rng.randint(0, nb, (b, l, l)).astype(np.int32)
+        want = np.asarray(recycle_embed_reference(
+            jnp.asarray(static), jnp.asarray(tvec), jnp.asarray(prev),
+            jnp.asarray(scale), jnp.asarray(bias), jnp.asarray(table),
+            jnp.asarray(bins)))
+        got = np.asarray(recycle_embed(
+            jnp.asarray(static), jnp.asarray(tvec), jnp.asarray(prev),
+            jnp.asarray(scale), jnp.asarray(bias), jnp.asarray(table),
+            jnp.asarray(bins), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_model_fallback_matches_kernel_semantics(self):
+        """The module's fallback path (functional LN + take) must equal the
+        kernel's reference twin given the same params/inputs — covered by
+        comparing the twin against a hand computation."""
+        from abx_tpu.ops.recycle_embed import recycle_embed_reference
+        rng = np.random.RandomState(1)
+        b, l, c0, c1, nb = 1, 6, 4, 2, 5
+        c = c0 + 2 * c1
+        static = rng.randn(b, l, l, c0).astype(np.float32)
+        tvec = rng.randn(b, 2 * c1).astype(np.float32)
+        prev = rng.randn(b, l, l, c).astype(np.float32)
+        scale = np.ones(c, np.float32)
+        bias = np.zeros(c, np.float32)
+        table = rng.randn(nb, c).astype(np.float32)
+        bins = rng.randint(0, nb, (b, l, l)).astype(np.int32)
+        got = np.asarray(recycle_embed_reference(
+            *(jnp.asarray(x) for x in
+              (static, tvec, prev, scale, bias, table, bins))))
+        mean = prev.mean(-1, keepdims=True)
+        var = prev.var(-1, keepdims=True)
+        ln = (prev - mean) / np.sqrt(var + 1e-5)
+        base = np.concatenate(
+            [static, np.broadcast_to(tvec[:, None, None, :],
+                                     (b, l, l, 2 * c1))], -1)
+        want = base + ln + table[bins]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
