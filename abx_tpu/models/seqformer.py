@@ -188,12 +188,26 @@ class SeqAttentionWithPairBias(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, seq_act, pair_act, mask):
+    def __call__(self, seq_act, pair_act, mask, deterministic: bool = True):
+        from abx_tpu.models.modules import LayerNormParams, layer_norm
+        from abx_tpu.ops.registry import use_fused_pair_bias
         c = self.config
         seq_act = LayerNorm(dtype=self.dtype, name='seq_norm')(seq_act)
-        pair_act = LayerNorm(dtype=self.dtype, name='pair_norm')(pair_act)
-        bias = Linear(c.num_head, init='linear', use_bias=False,
-                      dtype=self.dtype, name='proj_pair')(pair_act)
+        scale, ln_bias = LayerNormParams(pair_act.shape[-1],
+                                         name='pair_norm')()
+        wp, _ = LinearParams(c.num_head, pair_act.shape[-1], init='linear',
+                             use_bias=False, name='proj_pair')()
+        if (deterministic and pair_act.ndim == 4
+                and jax.default_backend() == 'tpu'
+                and use_fused_pair_bias()):
+            # The pair track feeds this module ONLY through LN -> C->H
+            # projection: one VMEM pass, the LN'd tensor never hits HBM
+            # (ops/pair_bias.py).
+            from abx_tpu.ops.pair_bias import pair_bias_proj
+            bias = pair_bias_proj(pair_act, scale, ln_bias, wp)
+        else:
+            ln = layer_norm(pair_act, scale, ln_bias, dtype=self.dtype)
+            bias = jnp.dot(ln.astype(self.dtype), wp.astype(self.dtype))
         bias = jnp.moveaxis(bias, -1, -3)  # (B, H, L, L)
         out = GatedAttention(
             key_dim=seq_act.shape[-1], value_dim=seq_act.shape[-1],
@@ -392,7 +406,7 @@ class SeqformerIteration(nn.Module):
         seq_act = seq_act + dropout_fn(
             SeqAttentionWithPairBias(c.seq_attention_with_pair_bias,
                                      dtype=self.dtype, name='seq_attn')(
-                seq_act, pair_act, seq_mask),
+                seq_act, pair_act, seq_mask, deterministic=deterministic),
             c.seq_attention_with_pair_bias)
         seq_act = seq_act + Transition(c.seq_transition, dtype=self.dtype,
                                        name='seq_transition')(seq_act)

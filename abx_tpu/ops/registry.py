@@ -80,3 +80,10 @@ def use_fused_recycle_embed() -> bool:
     Replaces ~10 ms/step of gather + LN reductions + add traversals of the
     127 MB pair tensor (round-3 profile)."""
     return os.environ.get('ABX_FUSED_RECYCLE', '1') == '1'
+
+
+def use_fused_pair_bias() -> bool:
+    """Fused seq-attention pair-bias projection (LN -> C->H in one VMEM
+    pass; the LN'd pair tensor never materialises — ~3 ms/step, round-3
+    profile)."""
+    return os.environ.get('ABX_FUSED_PAIR_BIAS', '1') == '1'

@@ -327,3 +327,22 @@ class TestRecycleEmbed:
                                      (b, l, l, 2 * c1))], -1)
         want = base + ln + table[bins]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestPairBiasProj:
+    def test_interpret_matches_reference(self):
+        from abx_tpu.ops.pair_bias import (pair_bias_proj,
+                                           pair_bias_proj_reference)
+        rng = np.random.RandomState(0)
+        b, l, c, h = 2, 24, 16, 4
+        pair = rng.randn(b, l, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        bias = rng.randn(c).astype(np.float32)
+        w = rng.randn(c, h).astype(np.float32)
+        want = np.asarray(pair_bias_proj_reference(
+            jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(bias),
+            jnp.asarray(w)))
+        got = np.asarray(pair_bias_proj(
+            jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(bias),
+            jnp.asarray(w), row_block=4, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
