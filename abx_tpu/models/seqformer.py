@@ -62,7 +62,8 @@ class GatedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_data, k_data=None, bias=None, k_mask=None,
-                 fused: bool = False, bias_llh=None, residual=None):
+                 fused: bool = False, bias_llh=None, residual=None,
+                 ln=None):
         h = self.num_head
         key_dim = self.key_dim // h
         value_dim = self.value_dim // h
@@ -80,15 +81,29 @@ class GatedAttention(nn.Module):
                                      use_bias=False, name='proj_k')()
                 kv, _ = LinearParams(self.value_dim, c_in, init='attn',
                                      use_bias=False, name='proj_v')()
-                if fused and bias_llh is not None and k_mask is not None:
+                if (fused and k_mask is not None
+                        and (bias_llh is not None or bias is not None)):
                     # Layout-native fused path: the kernel does the per-head
                     # projections itself — q/k/v never exist in HBM and no
                     # head-major transposes are emitted.
                     from abx_tpu.ops.tri_attention import \
                         triangle_attention_packed
+                    att_bias = (bias if bias is not None
+                                else jnp.moveaxis(bias_llh, -1, -3))
+                    if ln is not None and self.gating:
+                        # LN-fold: q_data is RAW; LayerNorm + sigmoid gate
+                        # run in-kernel — only out-proj (+residual) remain
+                        # in XLA.
+                        kg, bg = LinearParams(self.value_dim, c_in,
+                                              init='gate', name='gate')()
+                        out = triangle_attention_packed(
+                            q_data, kq, kk, kv, att_bias, k_mask[:, 0],
+                            ln=ln, gate=(kg, bg))
+                        out = Linear(self.output_dim, init='final',
+                                     dtype=self.dtype, name='proj_out')(out)
+                        return out if residual is None else residual + out
                     out = triangle_attention_packed(
-                        q_data, kq, kk, kv,
-                        jnp.moveaxis(bias_llh, -1, -3), k_mask[:, 0])
+                        q_data, kq, kk, kv, att_bias, k_mask[:, 0])
                     from abx_tpu.ops.registry import use_gate_proj_kernel
                     if (self.gating and residual is not None
                             and use_gate_proj_kernel()):
@@ -201,14 +216,17 @@ class SeqAttentionWithPairBias(nn.Module):
                 and jax.default_backend() == 'tpu'
                 and use_fused_pair_bias()):
             # The pair track feeds this module ONLY through LN -> C->H
-            # projection: one VMEM pass, the LN'd tensor never hits HBM
+            # projection: one VMEM pass, the LN'd tensor never hits HBM,
+            # and the kernel emits the (B, H, L, L) attention-bias layout
+            # directly (no HBM moveaxis of the (B, L, L, 32) tensor)
             # (ops/pair_bias.py).
             from abx_tpu.ops.pair_bias import pair_bias_proj
-            bias = pair_bias_proj(pair_act, scale, ln_bias, wp)
+            bias = pair_bias_proj(pair_act, scale, ln_bias, wp,
+                                  transpose_out=True)
         else:
             ln = layer_norm(pair_act, scale, ln_bias, dtype=self.dtype)
             bias = jnp.dot(ln.astype(self.dtype), wp.astype(self.dtype))
-        bias = jnp.moveaxis(bias, -1, -3)  # (B, H, L, L)
+            bias = jnp.moveaxis(bias, -1, -3)  # (B, H, L, L)
         out = GatedAttention(
             key_dim=seq_act.shape[-1], value_dim=seq_act.shape[-1],
             output_dim=seq_act.shape[-1], num_head=c.num_head,
@@ -357,8 +375,39 @@ class TriangleAttention(nn.Module):
                  residual: bool = False):
         """`residual=True` folds the +input into the fused attention
         epilogue (gate -> proj -> +res in one VMEM pass at inference)."""
-        from abx_tpu.ops.registry import use_fused_tri_attention
+        from abx_tpu.ops.registry import (use_fused_tri_attention,
+                                          use_tri_attn_ln_fold)
         c = self.config
+        fused = (deterministic and use_fused_tri_attention()
+                 and jax.default_backend() == 'tpu')
+        if (fused and residual and c.gating and pair_act.ndim == 4
+                and use_tri_attn_ln_fold()):
+            # LN-fold fast path (both orientations): the input LayerNorm
+            # and the sigmoid output gate run INSIDE the packed kernel on
+            # the raw (oriented) tensor, so the normalised 127 MB tensor
+            # never exists in HBM; the attention bias comes from the
+            # pair-bias kernel in (B, H, L, L) layout directly.
+            from abx_tpu.models.modules import LayerNormParams
+            from abx_tpu.ops.pair_bias import pair_bias_proj
+            x_in = pair_act
+            if c.orientation == 'per_column':
+                x_in = jnp.swapaxes(pair_act, 1, 2)
+            scale, ln_bias = LayerNormParams(pair_act.shape[-1],
+                                             name='norm')()
+            wp, _ = LinearParams(c.num_head, pair_act.shape[-1],
+                                 init='linear', use_bias=False,
+                                 name='proj_pair')()
+            bias = pair_bias_proj(x_in, scale, ln_bias, wp,
+                                  transpose_out=True)   # (B, H, L, L)
+            out = GatedAttention(
+                key_dim=pair_act.shape[-1], value_dim=pair_act.shape[-1],
+                output_dim=pair_act.shape[-1], num_head=c.num_head,
+                gating=c.gating, dtype=self.dtype, name='attn')(
+                x_in, k_data=x_in, bias=bias, k_mask=seq_mask[:, None],
+                fused=True, residual=x_in, ln=(scale, ln_bias))
+            if c.orientation == 'per_column':
+                out = jnp.swapaxes(out, 1, 2)
+            return out
         res_in = None
         if c.orientation == 'per_column':
             pair_act = jnp.swapaxes(pair_act, 1, 2)

@@ -27,25 +27,34 @@ def _ln(x, scale, bias, eps):
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _kernel(x_ref, s_ref, b_ref, w_ref, out_ref, *, eps: float):
+def _kernel(x_ref, s_ref, b_ref, w_ref, out_ref, *, eps: float,
+            transpose_out: bool):
     x = x_ref[0]                                     # (RB, L, C)
     ln = _ln(x, s_ref[0], b_ref[0], eps).astype(x.dtype)
     y = jax.lax.dot_general(ln, w_ref[...], (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    out_ref[0] = y.astype(out_ref.dtype)
+    if transpose_out:
+        out_ref[0] = jnp.transpose(y, (2, 0, 1)).astype(out_ref.dtype)
+    else:
+        out_ref[0] = y.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('row_block', 'eps',
-                                             'interpret'))
+                                             'transpose_out', 'interpret'))
 def pair_bias_proj(pair, scale, bias, w, row_block=None, eps: float = 1e-5,
-                   interpret: bool = False):
+                   transpose_out: bool = False, interpret: bool = False):
     """LayerNorm(pair) @ w in one VMEM pass.
 
     Args:
         pair: (B, L, L, C) pair activations.
         scale, bias: (C,) LayerNorm params.
         w: (C, H) head-projection kernel (no bias).
-    Returns: (B, L, L, H) in pair.dtype.
+        transpose_out: emit (B, H, L, L) — the attention-bias layout —
+            directly (the (RB, L, H) -> (H, RB, L) transpose happens on
+            the VMEM block, so the consumer needs no HBM moveaxis of the
+            (B, L, L, H) tensor).
+    Returns: (B, L, L, H) in pair.dtype ((B, H, L, L) when
+        transpose_out).
     """
     b, r, l, c = pair.shape
     h = w.shape[-1]
@@ -58,19 +67,26 @@ def pair_bias_proj(pair, scale, bias, w, row_block=None, eps: float = 1e-5,
     rp = pair.shape[1]
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
     const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
+    if transpose_out:
+        out_spec = pl.BlockSpec((1, h, row_block, l),
+                                lambda bb, rr: (bb, 0, rr, 0))
+        out_shape = jax.ShapeDtypeStruct((b, h, rp, l), dt)
+    else:
+        out_spec = pl.BlockSpec((1, row_block, l, h),
+                                lambda bb, rr: (bb, rr, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, rp, l, h), dt)
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, transpose_out=transpose_out),
         grid=(b, rp // row_block),
         in_specs=[
             pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0)),
             const((1, c)), const((1, c)), const((c, h)),
         ],
-        out_specs=pl.BlockSpec((1, row_block, l, h),
-                               lambda bb, rr: (bb, rr, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, rp, l, h), dt),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(pair, row(scale), row(bias), w.astype(dt))
-    return out[:, :r]
+    return out[:, :, :r] if transpose_out else out[:, :r]
 
 
 def pair_bias_proj_reference(pair, scale, bias, w, eps: float = 1e-5):

@@ -15,7 +15,11 @@ def use_pallas_triangle() -> bool:
     """Pallas triangle contraction: default OFF — XLA's einsum is ~72% of
     bf16 peak here already, and at production shape (B=4, L=288, C=128)
     the tile-128 kernel exceeds the 128 MB VMEM capacity inside the full
-    sampler program (measured: 128.68M/128M)."""
+    sampler program (measured: 128.68M/128M).  Round-3 retry with channel
+    blocking (tile=96, c_block=128, 100 MB scoped limit): compiles, but
+    35.0 vs 39.8 batch-steps/s at num_t=20 — the in-VMEM (C, I, K)
+    operand transposes cost more than the HBM layout copies they
+    replace."""
     return os.environ.get('ABX_PALLAS_TRIANGLE', '0') == '1'
 
 
@@ -80,6 +84,15 @@ def use_fused_recycle_embed() -> bool:
     Replaces ~10 ms/step of gather + LN reductions + add traversals of the
     127 MB pair tensor (round-3 profile)."""
     return os.environ.get('ABX_FUSED_RECYCLE', '1') == '1'
+
+
+def use_tri_attn_ln_fold() -> bool:
+    """Fold the triangle-attention input LayerNorm + sigmoid output gate
+    into the packed row kernel (both orientations; the bias comes from
+    pair_bias_proj in transposed layout).  The normalised 127 MB pair
+    tensor never exists in HBM; only orientation transposes, out-proj and
+    the residual remain in XLA."""
+    return os.environ.get('ABX_TRI_ATTN_LN_FOLD', '1') == '1'
 
 
 def use_fused_pair_bias() -> bool:

@@ -103,19 +103,32 @@ def triangle_attention_fused(q, k, v, bias, mask, row_block: int = 8,
     return out[:, :r]
 
 
-def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, wall_ref, bias_ref,
-                   maskbias_ref, out_ref, *, scale: float,
-                   bf16_softmax: bool = False,
-                   fused_proj: bool = False):
+def _packed_kernel(*refs, scale: float, bf16_softmax: bool = False,
+                   fused_proj: bool = False, ln: bool = False,
+                   gate: bool = False, eps: float = 1e-5):
     """Projection + attention for one (batch, row-block) program.
 
-    x_ref: (1, RB, L, C) post-LN pair activations, NATURAL layout.
+    x_ref: (1, RB, L, C) pair activations, NATURAL layout — post-LN, or
+    RAW when `ln` (the LayerNorm then runs in-VMEM on the block; the
+    normalised tensor never exists in HBM).  With `gate`, the sigmoid
+    gate joins the fused projection as a 4th column block and multiplies
+    the output in-kernel — with ln+gate the XLA graph around the kernel
+    shrinks to bias (pair_bias_proj) + out-proj + residual.
     w*_ref: (H, C, D) per-head projection weights (leading-dim indexed).
     bias_ref: (1, H, L, L) input dtype (upcast in-kernel; halves the
     per-program bias HBM traffic).  maskbias_ref: (1, 1, L) additive f32.
     out_ref: (1, RB, L, H*D) — heads concatenated on lanes, so the
     consumer's head merge is a free bitcast (no layout copies anywhere).
     """
+    it = iter(refs)
+    x_ref = next(it)
+    if ln:
+        s_ref, b_ref = next(it), next(it)         # (1, C) LN rows, f32
+    wq_ref, wk_ref, wv_ref, wall_ref = (next(it) for _ in range(4))
+    if gate:
+        bg_ref = next(it)                         # (1, H*D) gate bias
+    bias_ref, maskbias_ref, out_ref = next(it), next(it), next(it)
+
     x = x_ref[0]                                  # (RB, L, C) bf16
     maskb = maskbias_ref[0]                       # (1, L)
     h = wq_ref.shape[0]
@@ -123,11 +136,18 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, wall_ref, bias_ref,
     in_dt = x.dtype
     proj_dims = (((2,), (0,)), ((), ()))          # (RB, L, C) @ (C, D)
     del scale  # folded into wq by the caller
+    if ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True)
+                          - mean * mean, 0.0)
+        x = ((x32 - mean) * jax.lax.rsqrt(var + eps) * s_ref[0]
+             + b_ref[0]).astype(in_dt)
 
     if fused_proj:
-        # One full-lane projection dot (N = 3*H*D) followed by per-head
-        # VMEM lane slices; trades MXU lane util (48/128 per-head) for a
-        # possible relayout cost on the slices — A/B via env.
+        # One full-lane projection dot (N = (3 or 4)*H*D) followed by
+        # per-head VMEM lane slices; trades MXU lane util (48/128
+        # per-head) for a possible relayout cost on the slices.
         y_all = jax.lax.dot_general(x, wall_ref[...], proj_dims,
                                     preferred_element_type=jnp.float32)
 
@@ -171,12 +191,23 @@ def _packed_kernel(x_ref, wq_ref, wk_ref, wv_ref, wall_ref, bias_ref,
             probs.astype(in_dt), v.astype(in_dt),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))  # (RB, L, D)
-    out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+    res = jnp.concatenate(outs, axis=-1)
+    if gate:
+        if fused_proj:
+            g = jax.lax.slice_in_dim(y_all, 3 * h * d, 4 * h * d, axis=2)
+        else:
+            g = jax.lax.dot_general(
+                x, jax.lax.slice_in_dim(wall_ref[...], 3 * h * d,
+                                        4 * h * d, axis=1),
+                proj_dims, preferred_element_type=jnp.float32)
+        res = res * jax.nn.sigmoid(g + bg_ref[0][None, None, :])
+    out_ref[0] = res.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('row_block', 'interpret'))
 def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
+                              ln=None, gate=None,
                               interpret: bool = False):
     """Layout-native fused triangle attention: projection + attention.
 
@@ -187,26 +218,33 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     every HBM tensor in its natural (B, R, L, C) layout.
 
     Args:
-        x: (B, R, L, C) post-LN pair activations (rows attend per row).
+        x: (B, R, L, C) post-LN pair activations (rows attend per row) —
+            or the RAW pre-LN activations when `ln` is given.
         wq, wk, wv: (C, H*D) projection weights (column-major head blocks,
             i.e. the plain Linear kernel layout).
         bias: (B, H, L, L) attention bias, shared across rows.
         mask: (B, L) key mask (1 = valid).
-    Returns: (B, R, L, H*D), dtype of x.
+        ln: optional (scale, bias) — LayerNorm x in-VMEM per block (the
+            normalised tensor never exists in HBM; the caller then feeds
+            RAW x and computes the bias via ops.pair_bias).
+        gate: optional (wg, bg) — fold the sigmoid output gate into the
+            fused projection and multiply in-kernel (bf16 fused-proj path
+            only).
+    Returns: (B, R, L, H*D), dtype of x (gated when `gate`).
     """
     b, r, l, c = x.shape
     h = bias.shape[1]
     d = wq.shape[-1] // h
     scale = d ** -0.5
+    import os as _os
+    fused_proj = (x.dtype == jnp.bfloat16 and
+                  _os.environ.get('ABX_TRI_ATTN_FUSED_PROJ', '1') == '1')
     if row_block is None:
         # Scoped VMEM is ~16 MB on v5e; the f32 working set at RB=8
         # (x + per-head q/k/v/logits/probs + out accumulator) exceeds it.
-        import os
-        env = os.environ.get('ABX_TRI_ATTN_RB')
-        fused_default = (x.dtype == jnp.bfloat16 and os.environ.get(
-            'ABX_TRI_ATTN_FUSED_PROJ', '1') == '1')
+        env = _os.environ.get('ABX_TRI_ATTN_RB')
         row_block = (int(env) if env
-                     else (4 if fused_default or x.dtype != jnp.bfloat16
+                     else (4 if fused_proj or x.dtype != jnp.bfloat16
                            else 8))
     rpad = (-r) % row_block
     if rpad:
@@ -225,42 +263,213 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     grid = (b, n_rb)
     x_spec = pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0))
     w_spec = pl.BlockSpec((h, c, d), lambda bb, rr: (0, 0, 0))
+    row_spec = lambda n: pl.BlockSpec((1, n), lambda bb, rr: (0, 0))
     # bf16 exp measured +4% end-to-end (37.5 -> 39.0 steps/s at
     # num_t=20); the argument is computed exactly in f32 and the attend
     # dot already rounds probabilities to bf16, so the added softmax noise
     # is of the same order as the existing bf16-attend rounding.  Disable
     # via ABX_TRI_ATTN_BF16_EXP=0 for strict-f32-softmax evaluation.
-    import os as _os
     bf16_softmax = (x.dtype == jnp.bfloat16 and
                     _os.environ.get('ABX_TRI_ATTN_BF16_EXP', '1') == '1')
-    # Full-lane fused projection (one N=3*H*D dot + per-head VMEM slices):
-    # measured +1 steps/s over per-head N=48 dots; needs RB=4 to fit VMEM
-    # (the f32 working set grows by the (RB, L, 3HD) y_all).  bf16 only.
-    fused_proj = (x.dtype == jnp.bfloat16 and
-                  _os.environ.get('ABX_TRI_ATTN_FUSED_PROJ', '1') == '1')
+    # Full-lane fused projection (one N=(3|4)*H*D dot + per-head VMEM
+    # slices): measured +1 steps/s over per-head N=48 dots; needs RB=4 to
+    # fit VMEM (the f32 working set grows by the (RB, L, NHD) y_all).
     # (C, H*D) mats are already per-head column blocks, so the fused
-    # projection weight is a plain column concat [q|k|v].
-    w_all = jnp.concatenate(
-        [(wq * scale).astype(x.dtype), wk.astype(x.dtype),
-         wv.astype(x.dtype)], axis=-1)
+    # projection weight is a plain column concat [q|k|v(|g)].
+    w_cols = [(wq * scale).astype(x.dtype), wk.astype(x.dtype),
+              wv.astype(x.dtype)]
+    if gate is not None:
+        w_cols.append(gate[0].astype(x.dtype))
+    w_all = jnp.concatenate(w_cols, axis=-1)
+    n_proj = 4 if gate is not None else 3
+
+    row_f32 = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    in_specs = [x_spec]
+    operands = [x]
+    if ln is not None:
+        in_specs += [row_spec(c), row_spec(c)]
+        operands += [row_f32(ln[0]), row_f32(ln[1])]
+    in_specs += [w_spec, w_spec, w_spec,
+                 pl.BlockSpec((c, n_proj * h * d), lambda bb, rr: (0, 0))]
+    operands += [per_head(wq, scale), per_head(wk), per_head(wv), w_all]
+    if gate is not None:
+        in_specs.append(row_spec(h * d))
+        operands.append(row_f32(gate[1]))
+    in_specs += [pl.BlockSpec((1, h, l, l), lambda bb, rr: (bb, 0, 0, 0)),
+                 pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0))]
+    operands += [bias.astype(x.dtype), maskbias]
+
     out = pl.pallas_call(
         functools.partial(_packed_kernel, scale=scale,
                           bf16_softmax=bf16_softmax,
-                          fused_proj=fused_proj),
+                          fused_proj=fused_proj,
+                          ln=ln is not None, gate=gate is not None),
         grid=grid,
-        in_specs=[
-            x_spec, w_spec, w_spec, w_spec,
-            pl.BlockSpec((c, 3 * h * d), lambda bb, rr: (0, 0)),
-            pl.BlockSpec((1, h, l, l), lambda bb, rr: (bb, 0, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, row_block, l, h * d),
                                lambda bb, rr: (bb, rr, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
         interpret=interpret,
-    )(x, per_head(wq, scale), per_head(wk), per_head(wv), w_all,
-      bias.astype(x.dtype), maskbias)
+    )(*operands)
     return out[:, :r]
+
+
+def _packed_cols_kernel(x_ref, s_ref, b_ref, wall_ref, bg_ref, bias_ref,
+                        maskbias_ref, out_ref, *, h: int, d: int, eps: float,
+                        bf16_softmax: bool):
+    """Ending-node (per-column) attention for one (batch, col-block)
+    program, consuming the RAW pair tensor in its natural layout.
+
+    x_ref: (1, L, CB, C) — a block of COLUMNS of the natural (B, L, L, C)
+    pair tensor.  The kernel transposes in VMEM (never through HBM),
+    LayerNorms, projects q/k/v/gate in one dot, attends along the row
+    axis, applies the sigmoid gate, and writes back transposed, so the
+    HBM tensors stay in natural layout on both sides.
+    wall_ref: (C, (3h+1)*d) fused [q|k|v|gate] projection (scale folded
+    into q; gate bias applied in-kernel).  bias_ref: (1, H, L, L) with
+    bias[h, q, k] = proj_pair(LN(pair[k, q])) — the transposed-node bias.
+    """
+    xt = jnp.transpose(x_ref[0], (1, 0, 2))          # (CB, L, C)
+    x32 = xt.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mean * mean,
+                      0.0)
+    ln = ((x32 - mean) * jax.lax.rsqrt(var + eps) * s_ref[0]
+          + b_ref[0]).astype(xt.dtype)               # (CB, L, C)
+    in_dt = xt.dtype
+    maskb = maskbias_ref[0]                          # (1, L)
+
+    y_all = jax.lax.dot_general(ln, wall_ref[...],
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    outs = []
+    for hh in range(h):
+        q = jax.lax.slice_in_dim(y_all, hh * d, (hh + 1) * d, axis=2)
+        k = jax.lax.slice_in_dim(y_all, (h + hh) * d, (h + hh + 1) * d,
+                                 axis=2)
+        v = jax.lax.slice_in_dim(y_all, (2 * h + hh) * d,
+                                 (2 * h + hh + 1) * d, axis=2)
+        logits = jax.lax.dot_general(
+            q.astype(in_dt), k.astype(in_dt),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (CB, L, L)
+        logits = (logits + bias_ref[0, hh][None].astype(jnp.float32)
+                  + maskb[None])
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        if bf16_softmax:
+            e = jnp.exp((logits - m).astype(jnp.bfloat16)).astype(
+                jnp.float32)
+        else:
+            e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            probs.astype(in_dt), v.astype(in_dt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))      # (CB, L, D)
+    gate = (jax.lax.slice_in_dim(y_all, 3 * h * d, 4 * h * d, axis=2)
+            + bg_ref[0][None, None, :])
+    res = jnp.concatenate(outs, axis=-1) * jax.nn.sigmoid(gate)
+    out_ref[0] = jnp.transpose(res.astype(out_ref.dtype), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=('col_block', 'eps',
+                                             'interpret'))
+def triangle_attention_packed_cols(x, ln_scale, ln_bias, wq, wk, wv,
+                                   wg, bg, bias, mask, col_block=None,
+                                   eps: float = 1e-5,
+                                   interpret: bool = False):
+    """Layout-native ENDING-NODE triangle attention (LN + projections +
+    attention + gate), natural layout in and out.
+
+    MEASURED NEGATIVE — kept unwired as a recorded result.  The XLA path
+    materialises pair^T, LayerNorms it, attends, and transposes back —
+    ~6 ms/step of HBM transpose+LN traffic at B=4, L=288 (round-3
+    profile).  This kernel reads COLUMN blocks of the natural tensor so
+    those transposes happen on VMEM-resident blocks instead — but the
+    per-program (L, CB, C) transposes cost 4.6 vs 2.9 ms/call against the
+    row kernel, cancelling the saving (75.2 vs 74.9 ms/step device, full
+    sampler).  The LN-fold row path (triangle_attention_packed with
+    ln=/gate=) gets the LN saving without the in-kernel transposes.
+
+    Args:
+        x: (B, L, L, C) RAW pair activations (pre-LN), natural layout.
+        ln_scale, ln_bias: (C,) input LayerNorm parameters.
+        wq, wk, wv: (C, H*D) projection weights; wg, bg: (C, H*D), (H*D)
+            gate projection.
+        bias: (B, H, L, L) attention bias for the TRANSPOSED node, i.e.
+            bias[b, h, q, k] = proj_pair(LN(x[b, k, q])) — computed by the
+            caller (pair_bias_proj + transpose of the tiny (L, L, H)).
+        mask: (B, L) key mask over the row axis (1 = valid).
+    Returns: (B, L, L, H*D) gated attention output, natural layout,
+        out[b, j, i] = (ending-node attention output at pt-position
+        (i, j)) — ready for the pointwise out-projection + residual.
+    """
+    b, l, _, c = x.shape
+    h = bias.shape[1]
+    d = wq.shape[-1] // h
+    scale = d ** -0.5
+    import os as _os
+    if col_block is None:
+        # Mosaic requires the second-minor block dim (the column count) to
+        # be a multiple of 8; the working set at CB=8 needs ~24 MB scoped
+        # VMEM (limit raised below).
+        env = _os.environ.get('ABX_TRI_ATTN_CB')
+        col_block = int(env) if env else 8
+    cpad = (-l) % col_block
+    if cpad:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, cpad), (0, 0)])
+    lp = x.shape[2]
+    n_cb = lp // col_block
+    bf16_softmax = (x.dtype == jnp.bfloat16 and
+                    _os.environ.get('ABX_TRI_ATTN_BF16_EXP', '1') == '1')
+    w_all = jnp.concatenate(
+        [(wq * scale).astype(x.dtype), wk.astype(x.dtype),
+         wv.astype(x.dtype), wg.astype(x.dtype)], axis=-1)
+    maskbias = ((1.0 - mask.astype(jnp.float32)) * BIG_NEG)[:, None, :]
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs['compiler_params'] = pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_packed_cols_kernel, h=h, d=d, eps=eps,
+                          bf16_softmax=bf16_softmax),
+        grid=(b, n_cb),
+        **kwargs,
+        in_specs=[
+            pl.BlockSpec((1, l, col_block, c), lambda bb, cc: (bb, 0, cc, 0)),
+            pl.BlockSpec((1, c), lambda bb, cc: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, cc: (0, 0)),
+            pl.BlockSpec((c, 4 * h * d), lambda bb, cc: (0, 0)),
+            pl.BlockSpec((1, h * d), lambda bb, cc: (0, 0)),
+            pl.BlockSpec((1, h, l, l), lambda bb, cc: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 1, l), lambda bb, cc: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, l, col_block, h * d),
+                               lambda bb, cc: (bb, 0, cc, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, lp, h * d), x.dtype),
+        interpret=interpret,
+    )(x, row(ln_scale), row(ln_bias), w_all, row(bg), bias.astype(x.dtype),
+      maskbias)
+    return out[:, :, :l]
+
+
+def triangle_attention_packed_cols_reference(x, ln_scale, ln_bias, wq, wk,
+                                             wv, wg, bg, bias, mask,
+                                             eps: float = 1e-5):
+    """Plain-XLA semantics twin: transpose -> LN -> attend -> gate ->
+    transpose back (the ending-node XLA path, minus out-proj/residual)."""
+    xt = jnp.swapaxes(x, 1, 2)
+    x32 = xt.astype(jnp.float32)
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mean * mean,
+                      0.0)
+    ln = ((x32 - mean) * jax.lax.rsqrt(var + eps) * ln_scale
+          + ln_bias).astype(x.dtype)
+    out = triangle_attention_packed_reference(ln, wq, wk, wv, bias, mask)
+    gate = jnp.dot(ln.astype(jnp.float32), wg.astype(jnp.float32)) + bg
+    out = out.astype(jnp.float32) * jax.nn.sigmoid(gate)
+    return jnp.swapaxes(out.astype(x.dtype), 1, 2)
 
 
 def triangle_attention_packed_reference(x, wq, wk, wv, bias, mask):

@@ -126,7 +126,7 @@ def triangle_multiply_pallas(left, right, per_row: bool = True,
         kwargs['compiler_params'] = pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel',
                                  'parallel', 'arbitrary'),
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t, n_t, n_c, n_t),

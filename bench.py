@@ -81,15 +81,32 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    # FLOPs of the full scanned program, from XLA's own cost analysis.
+    # FLOPs + HBM footprint of the full scanned program, from XLA's own
+    # cost/memory analyses (the memory figures are the memory-fit argument
+    # for multi-chip projections — the axon tunnel device does not expose
+    # live memory_stats).
     flops = None
+    mem = None
     try:
         lowered = sampler._run.lower(
             rt.params, rt.esm_params, feats, jax.random.PRNGKey(0), {})
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get('flops', 0.0)) or None
+        try:
+            ma = compiled.memory_analysis()
+            mem = {
+                'hbm_args_gb': round(ma.argument_size_in_bytes / 2**30, 3),
+                'hbm_temp_gb': round(ma.temp_size_in_bytes / 2**30, 3),
+                'hbm_out_gb': round(ma.output_size_in_bytes / 2**30, 3),
+                'hbm_total_gb': round(
+                    (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                     + ma.output_size_in_bytes) / 2**30, 3),
+            }
+        except Exception:
+            pass
     except Exception:
         pass
 
@@ -117,6 +134,8 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
         mfu = flops / elapsed / (PEAK_TFLOPS * 1e12)
         detail['mfu'] = round(mfu, 4)
         detail['tflops_per_step'] = round(flops / num_t / 1e12, 3)
+    if mem:
+        detail.update(mem)
     # HBM high-water mark (memory-fit argument for multi-chip projections,
     # BASELINE.md); not all backends expose stats.
     try:

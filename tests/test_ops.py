@@ -329,6 +329,144 @@ class TestRecycleEmbed:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+class TestTriAttentionLnFold:
+    def _case(self, dtype, monkeypatch=None, rtol=2e-4, atol=2e-4):
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed, triangle_attention_packed_reference)
+        rng = np.random.RandomState(7)
+        b, r, l, c, h = 2, 12, 12, 8, 2
+        x = rng.randn(b, r, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        lnb = rng.randn(c).astype(np.float32) * 0.1
+        wq, wk, wv, wg = (rng.randn(c, c).astype(np.float32) * 0.3
+                          for _ in range(4))
+        bg = rng.randn(c).astype(np.float32) * 0.1
+        bias = rng.randn(b, h, l, l).astype(np.float32)
+        mask = np.ones((b, l), np.float32)
+        mask[:, -2:] = 0.0
+
+        def ln_f(v):
+            m = v.mean(-1, keepdims=True)
+            va = np.maximum((v * v).mean(-1, keepdims=True) - m * m, 0.0)
+            return (v - m) / np.sqrt(va + 1e-5) * scale + lnb
+        ln_x = ln_f(x).astype(dtype)
+        want = np.asarray(triangle_attention_packed_reference(
+            jnp.asarray(ln_x), jnp.asarray(wq), jnp.asarray(wk),
+            jnp.asarray(wv), jnp.asarray(bias), jnp.asarray(mask))
+        ).astype(np.float32)
+        gate = 1.0 / (1.0 + np.exp(-(ln_f(x) @ wg + bg)))
+        want = want * gate
+        got = np.asarray(triangle_attention_packed(
+            jnp.asarray(x.astype(dtype)), jnp.asarray(wq), jnp.asarray(wk),
+            jnp.asarray(wv), jnp.asarray(bias), jnp.asarray(mask),
+            row_block=4, ln=(jnp.asarray(scale), jnp.asarray(lnb)),
+            gate=(jnp.asarray(wg), jnp.asarray(bg)),
+            interpret=True)).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+    def test_f32_separate_gate_dot(self):
+        self._case(np.float32)
+
+    def test_bf16_fused_proj(self, monkeypatch):
+        monkeypatch.setenv('ABX_TRI_ATTN_FUSED_PROJ', '1')
+        monkeypatch.setenv('ABX_TRI_ATTN_BF16_EXP', '0')
+        import ml_dtypes
+        self._case(ml_dtypes.bfloat16, rtol=0.1, atol=0.1)
+
+
+class TestTriAttentionCols:
+    def test_interpret_matches_reference(self):
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed_cols,
+            triangle_attention_packed_cols_reference)
+        rng = np.random.RandomState(3)
+        b, l, c, h = 2, 16, 8, 2
+        hd = c  # key/value dim == channels, as in the model
+        x = rng.randn(b, l, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        lnb = rng.randn(c).astype(np.float32) * 0.1
+        wq, wk, wv, wg = (rng.randn(c, hd).astype(np.float32) * 0.3
+                          for _ in range(4))
+        bg = rng.randn(hd).astype(np.float32) * 0.1
+        bias = rng.randn(b, h, l, l).astype(np.float32)
+        mask = np.ones((b, l), np.float32)
+        mask[:, -3:] = 0.0
+        args = [jnp.asarray(v) for v in
+                (x, scale, lnb, wq, wk, wv, wg, bg, bias, mask)]
+        want = np.asarray(triangle_attention_packed_cols_reference(*args))
+        got = np.asarray(triangle_attention_packed_cols(
+            *args, col_block=4, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_wiring_matches_transposed_node(self):
+        """The model's new ending-node route (pair_bias on the NATURAL
+        tensor + (0,3,2,1) bias transpose + column attention) must equal
+        the old route (materialise pair^T, LN, bias from the transposed
+        tensor, attend, transpose back)."""
+        from abx_tpu.ops.pair_bias import pair_bias_proj_reference
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed_cols_reference,
+            triangle_attention_packed_reference)
+        rng = np.random.RandomState(5)
+        b, l, c, h = 2, 12, 8, 2
+        pair = rng.randn(b, l, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        lnb = rng.randn(c).astype(np.float32) * 0.1
+        wp = rng.randn(c, h).astype(np.float32) * 0.3
+        wq, wk, wv, wg = (rng.randn(c, c).astype(np.float32) * 0.3
+                          for _ in range(4))
+        bg = rng.randn(c).astype(np.float32) * 0.1
+        mask = np.ones((b, l), np.float32)
+        mask[:, -2:] = 0.0
+
+        # Old route, on the transposed tensor.
+        def ln_f(x):
+            m = x.mean(-1, keepdims=True)
+            v = np.maximum((x * x).mean(-1, keepdims=True) - m * m, 0.0)
+            return (x - m) / np.sqrt(v + 1e-5) * scale + lnb
+        pt = np.swapaxes(pair, 1, 2)
+        ln_t = ln_f(pt)
+        bias_att = np.moveaxis(ln_t @ wp, -1, -3)       # (B, H, L, L)
+        out_t = np.asarray(triangle_attention_packed_reference(
+            jnp.asarray(ln_t), jnp.asarray(wq), jnp.asarray(wk),
+            jnp.asarray(wv), jnp.asarray(bias_att), jnp.asarray(mask)))
+        gate = 1.0 / (1.0 + np.exp(-(ln_t @ wg + bg)))
+        want = np.swapaxes(out_t * gate, 1, 2)
+
+        # New route, natural tensor only.
+        bias_nat = np.asarray(pair_bias_proj_reference(
+            jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(lnb),
+            jnp.asarray(wp)))
+        bias_t = np.transpose(bias_nat, (0, 3, 2, 1))
+        got = np.asarray(triangle_attention_packed_cols_reference(
+            jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(lnb),
+            jnp.asarray(wq), jnp.asarray(wk), jnp.asarray(wv),
+            jnp.asarray(wg), jnp.asarray(bg), jnp.asarray(bias_t),
+            jnp.asarray(mask)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_col_padding(self):
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed_cols,
+            triangle_attention_packed_cols_reference)
+        rng = np.random.RandomState(4)
+        b, l, c, h = 1, 10, 8, 2  # l not divisible by col_block
+        x = rng.randn(b, l, l, c).astype(np.float32)
+        scale = np.ones(c, np.float32)
+        lnb = np.zeros(c, np.float32)
+        wq, wk, wv, wg = (rng.randn(c, c).astype(np.float32) * 0.3
+                          for _ in range(4))
+        bg = np.zeros(c, np.float32)
+        bias = rng.randn(b, h, l, l).astype(np.float32)
+        mask = np.ones((b, l), np.float32)
+        args = [jnp.asarray(v) for v in
+                (x, scale, lnb, wq, wk, wv, wg, bg, bias, mask)]
+        want = np.asarray(triangle_attention_packed_cols_reference(*args))
+        got = np.asarray(triangle_attention_packed_cols(
+            *args, col_block=4, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 class TestPairBiasProj:
     def test_interpret_matches_reference(self):
         from abx_tpu.ops.pair_bias import (pair_bias_proj,
@@ -346,3 +484,10 @@ class TestPairBiasProj:
             jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(bias),
             jnp.asarray(w), row_block=4, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        # transpose_out: the (B, H, L, L) attention-bias layout.
+        got_t = np.asarray(pair_bias_proj(
+            jnp.asarray(pair), jnp.asarray(scale), jnp.asarray(bias),
+            jnp.asarray(w), row_block=4, transpose_out=True,
+            interpret=True))
+        np.testing.assert_allclose(got_t, np.moveaxis(want, -1, -3),
+                                   rtol=1e-5, atol=1e-5)
