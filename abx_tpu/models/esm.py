@@ -98,8 +98,8 @@ def _rotate_half(x):
 
 
 def _apply_rotary(x, cos, sin):
-    # x: (B, H, L, Dh); cos/sin: (L, Dh).
-    return x * cos[None, None] + _rotate_half(x) * sin[None, None]
+    # x: (B, L, H, Dh) heads-minor; cos/sin: (L, Dh).
+    return (x * cos[None, :, None] + _rotate_half(x) * sin[None, :, None])
 
 
 class _DenseParams(nn.Module):
@@ -158,9 +158,14 @@ class ESMSelfAttention(nn.Module):
                     _DenseParams(d, d, name='k_proj')(),
                     _DenseParams(d, d, name='v_proj')()]
         q, k, v = fused_dense(x, branches, self.dtype)
-        q = q.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        # Heads stay MINOR ((B, L, H, Dh) — a free reshape); the einsums
+        # below carry the head axis so XLA folds the head split into the
+        # dot_generals instead of emitting (B, L, D) transpose copies
+        # (profiled 1.9 ms/step of {1,2,0} copies x 3 tensors x 36 layers
+        # with the head-major form).
+        q = q.reshape(b, l, h, dh)
+        k = k.reshape(b, l, h, dh)
+        v = v.reshape(b, l, h, dh)
 
         cos, sin = _rotary_sincos(l, dh, dtype=self.dtype)
         q = _apply_rotary(q, cos, sin)
@@ -172,17 +177,38 @@ class ESMSelfAttention(nn.Module):
             # Per-(batch, head) VMEM-resident attention — the f32 logits
             # tensor never touches HBM (ops/esm_attention.py).
             from abx_tpu.ops.esm_attention import esm_attention
-            out = esm_attention(q, k, v, padding_mask)
+            hm = lambda t: t.transpose(0, 2, 1, 3)
+            out = esm_attention(hm(q), hm(k), hm(v), padding_mask)
+            out = out.transpose(0, 2, 1, 3)
         elif use_flash_esm() and jax.default_backend() == 'tpu':
-            out = _esm_flash_attention(q, k, v, padding_mask)
+            hm = lambda t: t.transpose(0, 2, 1, 3)
+            out = _esm_flash_attention(hm(q), hm(k), hm(v), padding_mask)
+            out = out.transpose(0, 2, 1, 3)
         else:
-            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+            logits = jnp.einsum('bqhd,bkhd->bhqk', q, k)
             neg = (padding_mask[:, None, None, :]).astype(jnp.float32) * -1e9
             weights = jax.nn.softmax(logits.astype(jnp.float32) + neg,
                                      axis=-1)
-            out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(self.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+            out = jnp.einsum('bhqk,bkhd->bqhd', weights.astype(self.dtype), v)
+        out = out.reshape(b, l, d)
         return nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
+
+
+def _esm_layer_norm(x, name, mod):
+    """One-pass f32 LayerNorm for the ESM layer (param tree identical to
+    nn.LayerNorm under `name`).
+
+    nn.LayerNorm's two-pass moments cost a second full read of the
+    (B, L, 2560) tensor per LN — profiled ~11.5 ms/step across
+    2 LNs × 36 layers × 3 passes.  `modules.layer_norm` fuses both
+    reductions into one read (E[x²]−E[x]²) and matches fair-esm's torch
+    eps=1e-5 (flax defaults to 1e-6).  ESM is frozen — inference-only —
+    so the training two-pass opt-out never applies here.
+    """
+    del mod  # context only — the compact scope attaches the params
+    from abx_tpu.models.modules import LayerNormParams, layer_norm
+    scale, bias = LayerNormParams(x.shape[-1], name=name)()
+    return layer_norm(x, scale, bias, eps=1e-5, dtype=jnp.float32)
 
 
 class ESMLayer(nn.Module):
@@ -193,16 +219,22 @@ class ESMLayer(nn.Module):
     def __call__(self, x, padding_mask):
         c = self.config
         residual = x
-        y = nn.LayerNorm(dtype=jnp.float32, name='self_attn_layer_norm')(x)
+        y = _esm_layer_norm(x, 'self_attn_layer_norm', self)
         y = ESMSelfAttention(c, dtype=self.dtype, name='self_attn')(
             y.astype(self.dtype), padding_mask)
         x = residual + y
 
         residual = x
-        y = nn.LayerNorm(dtype=jnp.float32, name='final_layer_norm')(x)
+        y = _esm_layer_norm(x, 'final_layer_norm', self)
         y = nn.Dense(4 * c.embed_dim, dtype=self.dtype, name='fc1')(
             y.astype(self.dtype))
         y = jax.nn.gelu(y, approximate=False)
+        # Barrier: keep the exact-GELU erf OUT of the fc2 dot's operand
+        # prologue.  Fused, the VPU erf on the (B, L, 4D) tensor stalls
+        # the MXU mid-dot (profiled fc2 at 0.54 vs 0.33 ms ideal); split,
+        # GELU streams once through HBM (~0.06 ms) and the dot runs
+        # clean.
+        y = jax.lax.optimization_barrier(y)
         y = nn.Dense(c.embed_dim, dtype=self.dtype, name='fc2')(y)
         return residual + y
 
@@ -225,7 +257,13 @@ class ESMLayerStep(nn.Module):
         x, acc = carry
         x = ESMLayer(self.config, dtype=self.dtype, name='layer')(
             x, padding_mask)
-        acc = acc + w * x.astype(jnp.float32)
+        # Barrier: keep the f32 accumulator update OUT of the fc2 dot's
+        # fusion.  Fused, XLA emits the fc2 matmul with an f32 multi-output
+        # epilogue that halves its MXU rate (profiled 0.70 vs 0.33 ms
+        # ideal, ~40 ms/step at 36 layers x 3 passes); split, the dot runs
+        # at bf16 full rate and the acc update is a cheap elementwise pass.
+        xb = jax.lax.optimization_barrier(x)
+        acc = acc + w * xb.astype(jnp.float32)
         return (x, acc), (x if self.collect else None)
 
 

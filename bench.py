@@ -48,6 +48,50 @@ A100_REFERENCE_SAMPLES_PER_HR_ESM = 90.0
 PEAK_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', 197.0))
 
 
+def _analytic_flops_per_step(esm: bool, batch: int, l: int = 288,
+                             l_esm: int = 306) -> float:
+    """Matmul FLOPs per diffusion step (lower bound; elementwise excluded).
+
+    XLA's `cost_analysis` counts `lax.scan`/`while` bodies ONCE, so with the
+    nested scans here (36 ESM layers inside 3 trunk passes inside num_t
+    steps) it under-reports by ~3 orders of magnitude; this closed form is
+    the honest alternative.  Dims from config/config_model.json: seq 544ch,
+    pair 192ch, tri-mult nc=128, tri-attn 4x32, seq-attn 32 heads,
+    transitions x4, OPM 64ch, IPA 8x256ch/12h; ESM2-3B d=2560, 36 layers.
+    One diffusion step = 3 trunk passes (2 recycles + final), each with an
+    ESM pass when conditioning is on.
+    """
+    n, n2, n3 = float(l), float(l)**2, float(l)**3
+    cs, cp, nc = 544.0, 192.0, 128.0
+    seq = (8 * n * cs**2            # seq-attn q/k/v/gate
+           + 2 * n * cs**2          # seq-attn out proj
+           + 2 * n2 * cp * 32       # pair-bias projection
+           + 4 * n2 * cs            # seq-attn logits+attend
+           + 16 * n * cs**2)        # seq transition (x4 factor)
+    opm = 4 * n * cs * 64 + 2 * n2 * 64 + 2 * n2 * 128 * cp
+    tri_mult = 2 * (5 * 2 * n2 * cp * nc   # pre: left/right/3 gates
+                    + 2 * n3 * nc          # triangle contraction
+                    + 2 * n2 * nc * cp)    # post proj
+    tri_attn = 2 * (3 * 2 * n2 * cp * nc   # packed q/k/v proj
+                    + 2 * 2 * n2 * cp * nc  # gate + out proj
+                    + 2 * n2 * cp * 4      # bias proj
+                    + 4 * n3 * nc)         # logits + attend
+    pair_trans = 16 * n2 * cp**2
+    ipa = 8 * (2 * n * 256 * (3 * 192 + 576)   # scalar qkv + point qkv
+               + 2 * n2 * 192                  # scalar logits
+               + 2 * n2 * 12 * cp              # attend over pair
+               + 2 * n * 2800 * 256            # concat out proj
+               + 8 * n * 256**2)               # transition stack
+    heads = 2 * n2 * cp * 64 + 6 * n * 256**2
+    trunk_pass = seq + opm + tri_mult + tri_attn + pair_trans + ipa + heads
+    per_step = 3 * trunk_pass
+    if esm:
+        ne, d = float(l_esm), 2560.0
+        esm_layer = 24 * ne * d**2 + 4 * ne**2 * d
+        per_step += 3 * (36 * esm_layer + 2 * ne * 33 * d)
+    return per_step * batch
+
+
 def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
@@ -81,20 +125,17 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    # FLOPs + HBM footprint of the full scanned program, from XLA's own
-    # cost/memory analyses (the memory figures are the memory-fit argument
-    # for multi-chip projections — the axon tunnel device does not expose
-    # live memory_stats).
-    flops = None
+    # HBM footprint of the full scanned program from XLA's memory analysis
+    # (the memory figures are the memory-fit argument for multi-chip
+    # projections — the axon tunnel device does not expose live
+    # memory_stats).  FLOPs are analytic: XLA's cost_analysis counts scan
+    # bodies once (see _analytic_flops_per_step).
+    flops = _analytic_flops_per_step(esm, batch) * num_t
     mem = None
     try:
         lowered = sampler._run.lower(
             rt.params, rt.esm_params, feats, jax.random.PRNGKey(0), {})
         compiled = lowered.compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get('flops', 0.0)) or None
         try:
             ma = compiled.memory_analysis()
             mem = {
