@@ -49,6 +49,20 @@ def _mlp(sd: Dict, name: str, torch_idx) -> Dict:
             for i, j in enumerate(torch_idx)}
 
 
+def _sdwi(sd: Dict, name: str) -> Dict:
+    """SpatialDepthWiseInception (reference seqformer.py:632-674):
+    torch `convs.{i}.conv` is Conv1d(D, D, k, groups=D) with weight
+    (D, 1, k) -> flax `conv{i}_weight` (k, D) + `conv{i}_bias` (D,)."""
+    out = {}
+    i = 0
+    while f'{name}.convs.{i}.conv.weight' in sd:
+        w = np.asarray(sd[f'{name}.convs.{i}.conv.weight'])
+        out[f'conv{i}_weight'] = np.ascontiguousarray(w[:, 0, :].T)
+        out[f'conv{i}_bias'] = np.asarray(sd[f'{name}.convs.{i}.conv.bias'])
+        i += 1
+    return out
+
+
 def _attention(sd: Dict, name: str, fused: bool) -> Dict:
     out = {}
     if fused:
@@ -60,6 +74,9 @@ def _attention(sd: Dict, name: str, fused: bool) -> Dict:
     if f'{name}.gate.weight' in sd:
         out['gate'] = _linear(sd, f'{name}.gate')
     out['proj_out'] = _linear(sd, f'{name}.proj_out')
+    for inp in ('inp_q', 'inp_k', 'inp_v'):
+        if f'{name}.{inp}.convs.0.conv.weight' in sd:
+            out[inp] = _sdwi(sd, f'{name}.{inp}')
     return out
 
 
@@ -83,6 +100,9 @@ def _tri_mul(sd: Dict, name: str) -> Dict:
         out['left_gate'] = _linear(sd, f'{name}.left_gate')
         out['right_gate'] = _linear(sd, f'{name}.right_gate')
         out['final_gate'] = _linear(sd, f'{name}.final_gate')
+    for inp in ('inp_left', 'inp_right'):
+        if f'{name}.{inp}.convs.0.conv.weight' in sd:
+            out[inp] = _sdwi(sd, f'{name}.{inp}')
     return out
 
 
