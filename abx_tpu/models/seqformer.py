@@ -182,10 +182,20 @@ class GatedAttention(nn.Module):
                                 else jnp.moveaxis(bias_llh, -1, -3))
                     if ln is not None and self.gating:
                         # LN-fold: q_data is RAW; LayerNorm + sigmoid gate
-                        # run in-kernel — only out-proj (+residual) remain
-                        # in XLA.
+                        # run in-kernel.  With a residual, the output
+                        # projection + residual add run in-kernel too
+                        # (XLA emitted them as ~1 ms/call loop fusions and
+                        # round-tripped the attended tensor through HBM).
                         kg, bg = LinearParams(self.value_dim, c_in,
                                               init='gate', name='gate')()
+                        if residual is not None:
+                            wo, bo = LinearParams(
+                                self.output_dim, self.value_dim,
+                                init='final', name='proj_out')()
+                            return triangle_attention_packed(
+                                q_data, kq, kk, kv, att_bias, k_mask[:, 0],
+                                ln=ln, gate=(kg, bg), out_proj=(wo, bo),
+                                residual=residual)
                         out = triangle_attention_packed(
                             q_data, kq, kk, kv, att_bias, k_mask[:, 0],
                             ln=ln, gate=(kg, bg))

@@ -105,7 +105,8 @@ def triangle_attention_fused(q, k, v, bias, mask, row_block: int = 8,
 
 def _packed_kernel(*refs, scale: float, bf16_softmax: bool = False,
                    fused_proj: bool = False, ln: bool = False,
-                   gate: bool = False, eps: float = 1e-5):
+                   gate: bool = False, out_proj: bool = False,
+                   eps: float = 1e-5):
     """Projection + attention for one (batch, row-block) program.
 
     x_ref: (1, RB, L, C) pair activations, NATURAL layout — post-LN, or
@@ -113,12 +114,17 @@ def _packed_kernel(*refs, scale: float, bf16_softmax: bool = False,
     normalised tensor never exists in HBM).  With `gate`, the sigmoid
     gate joins the fused projection as a 4th column block and multiplies
     the output in-kernel — with ln+gate the XLA graph around the kernel
-    shrinks to bias (pair_bias_proj) + out-proj + residual.
+    shrinks to bias (pair_bias_proj) + out-proj + residual.  With
+    `out_proj`, the output projection (H*D -> C) and the residual add run
+    in-kernel too (out_ref then holds the NEW pair block directly) — XLA
+    emitted the proj+residual as ~1 ms/call loop fusions and the (…, H*D)
+    attention tensor round-tripped HBM for no reason.
     w*_ref: (H, C, D) per-head projection weights (leading-dim indexed).
     bias_ref: (1, H, L, L) input dtype (upcast in-kernel; halves the
     per-program bias HBM traffic).  maskbias_ref: (1, 1, L) additive f32.
     out_ref: (1, RB, L, H*D) — heads concatenated on lanes, so the
-    consumer's head merge is a free bitcast (no layout copies anywhere).
+    consumer's head merge is a free bitcast (no layout copies anywhere) —
+    or (1, RB, L, C) with `out_proj`.
     """
     it = iter(refs)
     x_ref = next(it)
@@ -127,6 +133,8 @@ def _packed_kernel(*refs, scale: float, bf16_softmax: bool = False,
     wq_ref, wk_ref, wv_ref, wall_ref = (next(it) for _ in range(4))
     if gate:
         bg_ref = next(it)                         # (1, H*D) gate bias
+    if out_proj:
+        wo_ref, bo_ref, res_ref = next(it), next(it), next(it)
     bias_ref, maskbias_ref, out_ref = next(it), next(it), next(it)
 
     x = x_ref[0]                                  # (RB, L, C) bf16
@@ -201,13 +209,23 @@ def _packed_kernel(*refs, scale: float, bf16_softmax: bool = False,
                                         4 * h * d, axis=1),
                 proj_dims, preferred_element_type=jnp.float32)
         res = res * jax.nn.sigmoid(g + bg_ref[0][None, None, :])
+    if out_proj:
+        # (RB, L, H*D) @ (H*D, C) + bias + residual: the attended tensor
+        # never exists in HBM; the kernel emits the new pair block.
+        y = jax.lax.dot_general(res.astype(in_dt), wo_ref[...],
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + bo_ref[0][None, None, :] + res_ref[0].astype(jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype)
+        return
     out_ref[0] = res.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('row_block', 'interpret'))
 def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
-                              ln=None, gate=None,
+                              ln=None, gate=None, out_proj=None,
+                              residual=None,
                               interpret: bool = False):
     """Layout-native fused triangle attention: projection + attention.
 
@@ -230,7 +248,12 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
         gate: optional (wg, bg) — fold the sigmoid output gate into the
             fused projection and multiply in-kernel (bf16 fused-proj path
             only).
-    Returns: (B, R, L, H*D), dtype of x (gated when `gate`).
+        out_proj: optional (wo, bo) with wo (H*D, C_out) — run the output
+            projection in-kernel; with `residual` (B, R, L, C_out) the
+            residual add joins it and the kernel returns the NEW pair
+            block (B, R, L, C_out) directly.
+    Returns: (B, R, L, H*D), dtype of x (gated when `gate`), or
+        (B, R, L, C_out) when `out_proj` is given.
     """
     b, r, l, c = x.shape
     h = bias.shape[1]
@@ -249,6 +272,8 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     rpad = (-r) % row_block
     if rpad:
         x = jnp.pad(x, [(0, 0), (0, rpad), (0, 0), (0, 0)])
+        if residual is not None:
+            residual = jnp.pad(residual, [(0, 0), (0, rpad), (0, 0), (0, 0)])
     rp = x.shape[1]
     n_rb = rp // row_block
 
@@ -295,6 +320,16 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
     if gate is not None:
         in_specs.append(row_spec(h * d))
         operands.append(row_f32(gate[1]))
+    c_out = h * d
+    if out_proj is not None:
+        assert residual is not None, 'out_proj epilogue needs the residual'
+        wo, bo = out_proj
+        c_out = wo.shape[-1]
+        in_specs += [pl.BlockSpec((h * d, c_out), lambda bb, rr: (0, 0)),
+                     row_spec(c_out),
+                     pl.BlockSpec((1, row_block, l, c_out),
+                                  lambda bb, rr: (bb, rr, 0, 0))]
+        operands += [wo.astype(x.dtype), row_f32(bo), residual]
     in_specs += [pl.BlockSpec((1, h, l, l), lambda bb, rr: (bb, 0, 0, 0)),
                  pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0))]
     operands += [bias.astype(x.dtype), maskbias]
@@ -303,12 +338,13 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
         functools.partial(_packed_kernel, scale=scale,
                           bf16_softmax=bf16_softmax,
                           fused_proj=fused_proj,
-                          ln=ln is not None, gate=gate is not None),
+                          ln=ln is not None, gate=gate is not None,
+                          out_proj=out_proj is not None),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, row_block, l, h * d),
+        out_specs=pl.BlockSpec((1, row_block, l, c_out),
                                lambda bb, rr: (bb, rr, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, rp, l, h * d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rp, l, c_out), x.dtype),
         interpret=interpret,
     )(*operands)
     return out[:, :r]

@@ -373,6 +373,46 @@ class TestTriAttentionLnFold:
         import ml_dtypes
         self._case(ml_dtypes.bfloat16, rtol=0.1, atol=0.1)
 
+    @pytest.mark.parametrize('r', [12, 10])  # 10: row-padding path
+    def test_out_proj_residual_epilogue(self, r):
+        """ln+gate+out_proj+residual: kernel emits the new pair block."""
+        from abx_tpu.ops.tri_attention import (
+            triangle_attention_packed, triangle_attention_packed_reference)
+        rng = np.random.RandomState(8)
+        b, l, c, h, c_out = 2, 12, 8, 2, 16
+        x = rng.randn(b, r, l, c).astype(np.float32)
+        scale = rng.rand(c).astype(np.float32) + 0.5
+        lnb = rng.randn(c).astype(np.float32) * 0.1
+        wq, wk, wv, wg = (rng.randn(c, c).astype(np.float32) * 0.3
+                          for _ in range(4))
+        bg = rng.randn(c).astype(np.float32) * 0.1
+        wo = rng.randn(c, c_out).astype(np.float32) * 0.3
+        bo = rng.randn(c_out).astype(np.float32) * 0.1
+        res = rng.randn(b, r, l, c_out).astype(np.float32)
+        bias = rng.randn(b, h, l, l).astype(np.float32)
+        mask = np.ones((b, l), np.float32)
+        mask[:, -2:] = 0.0
+
+        def ln_f(v):
+            m = v.mean(-1, keepdims=True)
+            va = np.maximum((v * v).mean(-1, keepdims=True) - m * m, 0.0)
+            return (v - m) / np.sqrt(va + 1e-5) * scale + lnb
+        ln_x = ln_f(x)
+        attended = np.asarray(triangle_attention_packed_reference(
+            jnp.asarray(ln_x), jnp.asarray(wq), jnp.asarray(wk),
+            jnp.asarray(wv), jnp.asarray(bias), jnp.asarray(mask)))
+        gate = 1.0 / (1.0 + np.exp(-(ln_x @ wg + bg)))
+        want = res + (attended * gate) @ wo + bo
+        got = np.asarray(triangle_attention_packed(
+            jnp.asarray(x), jnp.asarray(wq), jnp.asarray(wk),
+            jnp.asarray(wv), jnp.asarray(bias), jnp.asarray(mask),
+            row_block=4, ln=(jnp.asarray(scale), jnp.asarray(lnb)),
+            gate=(jnp.asarray(wg), jnp.asarray(bg)),
+            out_proj=(jnp.asarray(wo), jnp.asarray(bo)),
+            residual=jnp.asarray(res), interpret=True))
+        assert got.shape == (b, r, l, c_out)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
 
 class TestTriAttentionCols:
     def test_interpret_matches_reference(self):
