@@ -73,9 +73,6 @@ class InvariantPointAttention(nn.Module):
         kv_scalar = kv_scalar.reshape(b, l, h, nsv + nsq)
         k_scalar, v_scalar = jnp.split(kv_scalar, [nsq], axis=-1)
 
-        attn_qk_scalar = jnp.einsum('bihc,bjhc->bhij',
-                                    q_scalar * scalar_weights, k_scalar)
-
         # Point branch: layout (r n) -> points stored as 3 blocks; the
         # frame application and distance terms below run in f32.  NB: the
         # point PROJECTIONS run inside the fused matmul in the trunk dtype,
@@ -104,20 +101,10 @@ class InvariantPointAttention(nn.Module):
         center = jnp.mean(k_point, axis=(1, 3), keepdims=True)
         q_point = q_point - center
         k_point = k_point - center
-        q2 = jnp.sum(jnp.square(q_point), axis=(-1, -2))  # (b, l, h)
-        k2 = jnp.sum(jnp.square(k_point), axis=(-1, -2))
-        cross = jnp.einsum('bihnr,bjhnr->bhij', q_point, k_point,
-                           precision=jax.lax.Precision.HIGHEST)
-        dist2 = (q2.transpose(0, 2, 1)[:, :, :, None]
-                 + k2.transpose(0, 2, 1)[:, :, None, :]
-                 - 2.0 * cross)  # (b, h, i, j)
         tpw = self.param('trainable_point_weights',
                          lambda key, shape: jnp.log(jnp.exp(
                              jnp.full(shape, 1.0)) - 1.0), (h,))
         pw = -0.5 * point_weights * jax.nn.softplus(tpw)
-        attn_qk_point = pw[None, :, None, None] * dist2  # (b, h, i, j)
-
-        attn_logits = attn_qk_scalar.astype(jnp.float32) + attn_qk_point
 
         # The pair bias is layer-invariant (shared weights over a static
         # pair track): callers running several layers hoist it via
@@ -125,20 +112,63 @@ class InvariantPointAttention(nn.Module):
         # pair tensor per layer.
         if pair_bias is None:
             pair_bias = self.compute_pair_bias(inputs_2d)
-        attn_logits = attn_logits + pair_bias.astype(jnp.float32)
 
-        mask_2d = mask[:, None, :, None] * mask[:, None, None, :]
-        attn_logits = attn_logits + (1.0 - mask_2d) * BIG_NEG
+        from abx_tpu.ops.registry import (use_fused_ipa_attention,
+                                          use_ipa_attend_kernel)
+        if (deterministic and jax.default_backend() == 'tpu'
+                and use_fused_ipa_attention()):
+            # Fused logits+softmax+attends (ops/ipa_attention.py): the
+            # (B, H, L, L) logits/probability tensors never exist in HBM
+            # (~15 separate XLA f32 ops per layer otherwise, ~4 ms/step).
+            # Key-mask only (the reference also floors masked QUERY rows,
+            # whose outputs are meaningless either way).
+            from abx_tpu.ops.ipa_attention import ipa_attention
+            result_scalar, rp_global, result_2d = ipa_attention(
+                q_scalar * scalar_weights, k_scalar, v_scalar,
+                q_point, k_point, v_point, pw, pair_bias, mask, inputs_2d)
+            result_point_global = rp_global.reshape(b, l, h * npv, 3)
+        else:
+            attn_qk_scalar = jnp.einsum('bihc,bjhc->bhij',
+                                        q_scalar * scalar_weights, k_scalar)
+            q2 = jnp.sum(jnp.square(q_point), axis=(-1, -2))  # (b, l, h)
+            k2 = jnp.sum(jnp.square(k_point), axis=(-1, -2))
+            cross = jnp.einsum('bihnr,bjhnr->bhij', q_point, k_point,
+                               precision=jax.lax.Precision.HIGHEST)
+            dist2 = (q2.transpose(0, 2, 1)[:, :, :, None]
+                     + k2.transpose(0, 2, 1)[:, :, None, :]
+                     - 2.0 * cross)  # (b, h, i, j)
+            attn_qk_point = pw[None, :, None, None] * dist2  # (b, h, i, j)
 
-        attn = jax.nn.softmax(attn_logits, axis=-1)  # (b, h, i, j) f32
+            attn_logits = attn_qk_scalar.astype(jnp.float32) + attn_qk_point
+            attn_logits = attn_logits + pair_bias.astype(jnp.float32)
 
-        result_scalar = jnp.einsum(
-            'bhij,bjhc->bihc', attn.astype(self.dtype), v_scalar)
-        result_scalar = result_scalar.reshape(b, l, h * nsv)
+            mask_2d = mask[:, None, :, None] * mask[:, None, None, :]
+            attn_logits = attn_logits + (1.0 - mask_2d) * BIG_NEG
+
+            attn = jax.nn.softmax(attn_logits, axis=-1)  # (b, h, i, j) f32
+
+            result_scalar = jnp.einsum(
+                'bhij,bjhc->bihc', attn.astype(self.dtype), v_scalar)
+            result_scalar = result_scalar.reshape(b, l, h * nsv)
+
+            result_point_global = jnp.einsum('bhij,bjhnr->bihnr', attn,
+                                             v_point)
+            result_point_global = result_point_global.reshape(
+                b, l, h * npv, 3)
+
+            if (deterministic and jax.default_backend() == 'tpu'
+                    and use_ipa_attend_kernel()):
+                # Row-blocked VMEM attend-over-pair (ops/ipa_attend.py):
+                # the M=12 batched matmul XLA emits here runs at ~10% MXU
+                # util behind attention-tensor layout copies.
+                from abx_tpu.ops.ipa_attend import ipa_pair_attend
+                result_2d = ipa_pair_attend(attn, inputs_2d)
+            else:
+                result_2d = jnp.einsum(
+                    'bhij,bijc->bihc', attn.astype(self.dtype),
+                    inputs_2d).reshape(b, l, h * inputs_2d.shape[-1])
+
         outputs = [result_scalar]
-
-        result_point_global = jnp.einsum('bhij,bjhnr->bihnr', attn, v_point)
-        result_point_global = result_point_global.reshape(b, l, h * npv, 3)
         result_point_local = rigids.invert().apply(result_point_global)
         # (r n) flatten: x-components of all points, then y, then z.
         outputs.append(result_point_local.transpose(0, 1, 3, 2).reshape(
@@ -146,20 +176,7 @@ class InvariantPointAttention(nn.Module):
         outputs.append(jnp.sqrt(
             jnp.sum(jnp.square(result_point_local), axis=-1)
             + self.dist_epsilon).astype(self.dtype))
-
-        from abx_tpu.ops.registry import use_ipa_attend_kernel
-        if (deterministic and jax.default_backend() == 'tpu'
-                and use_ipa_attend_kernel()):
-            # Row-blocked VMEM attend-over-pair (ops/ipa_attend.py): the
-            # M=12 batched matmul XLA emits here runs at ~10% MXU util
-            # behind attention-tensor layout copies.
-            from abx_tpu.ops.ipa_attend import ipa_pair_attend
-            outputs.append(ipa_pair_attend(attn, inputs_2d))
-        else:
-            result_2d = jnp.einsum('bhij,bijc->bihc',
-                                   attn.astype(self.dtype), inputs_2d)
-            outputs.append(result_2d.reshape(b, l,
-                                             h * inputs_2d.shape[-1]))
+        outputs.append(result_2d)
 
         final_act = jnp.concatenate(outputs, axis=-1)
         return Linear(c.num_channel, init='final', dtype=self.dtype,

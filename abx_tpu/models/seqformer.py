@@ -254,6 +254,30 @@ class GatedAttention(nn.Module):
 
         if not self.split_first:
             assert k_data is None
+            if (fused and ln is not None and self.gating
+                    and residual is not None and q_data.ndim == 4
+                    and bias is not None and k_mask is not None):
+                # Packed seq-track attention: one pallas program per batch
+                # element does LN + fused per-head q/k/v/gate projection +
+                # biased softmax + gate + out-proj + residual (R=1 row
+                # block; the proj_in per-head [q‖k‖v] columns are regrouped
+                # into [q_all|k_all|v_all] outside — a tiny weight-only
+                # reshape, param tree unchanged).
+                from abx_tpu.ops.tri_attention import \
+                    triangle_attention_packed
+                kin, _ = LinearParams(self.key_dim * 3, c_in, init='attn',
+                                      use_bias=False, name='proj_in')()
+                kg, bg = LinearParams(self.value_dim, c_in, init='gate',
+                                      name='gate')()
+                wo, bo = LinearParams(self.output_dim, self.value_dim,
+                                      init='final', name='proj_out')()
+                w3 = kin.reshape(c_in, h, 3, key_dim)
+                wq_, wk_, wv_ = (w3[:, :, i].reshape(c_in, h * key_dim)
+                                 for i in range(3))
+                return triangle_attention_packed(
+                    q_data, wq_, wk_, wv_, bias, k_mask[:, 0], row_block=1,
+                    ln=ln, gate=(kg, bg), out_proj=(wo, bo),
+                    residual=residual)
             # Fused projection with PER-HEAD [q‖k‖v] column layout,
             # matching the reference (seqformer.py:280-281: reshape to
             # heads first, then chunk) — keeps checkpoint conversion a
@@ -307,11 +331,18 @@ class SeqAttentionWithPairBias(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, seq_act, pair_act, mask, deterministic: bool = True):
+    def __call__(self, seq_act, pair_act, mask, deterministic: bool = True,
+                 residual: bool = False):
+        """`residual=True` returns seq_act + attention(seq_act) — at
+        inference the add folds into the packed-attention epilogue."""
         from abx_tpu.models.modules import LayerNormParams, layer_norm
-        from abx_tpu.ops.registry import use_fused_pair_bias
+        from abx_tpu.ops.registry import (use_fused_pair_bias,
+                                          use_packed_seq_attn)
         c = self.config
-        seq_act = LayerNorm(dtype=self.dtype, name='seq_norm')(seq_act)
+        inp = tuple(getattr(c, 'inp_kernels', ()) or ())
+        res_in = seq_act
+        s_scale, s_bias = LayerNormParams(seq_act.shape[-1],
+                                          name='seq_norm')()
         scale, ln_bias = LayerNormParams(pair_act.shape[-1],
                                          name='pair_norm')()
         wp, _ = LinearParams(c.num_head, pair_act.shape[-1], init='linear',
@@ -331,13 +362,28 @@ class SeqAttentionWithPairBias(nn.Module):
             ln = layer_norm(pair_act, scale, ln_bias, dtype=self.dtype)
             bias = jnp.dot(ln.astype(self.dtype), wp.astype(self.dtype))
             bias = jnp.moveaxis(bias, -1, -3)  # (B, H, L, L)
+        if (residual and deterministic and not inp
+                and jax.default_backend() == 'tpu'
+                and use_packed_seq_attn()):
+            # Packed path: seq LN + per-head projections + biased softmax
+            # + gate + out-proj + residual in one kernel (raw seq_act in).
+            out = GatedAttention(
+                key_dim=seq_act.shape[-1], value_dim=seq_act.shape[-1],
+                output_dim=seq_act.shape[-1], num_head=c.num_head,
+                split_first=False, dtype=self.dtype, name='attn')(
+                seq_act[:, None], bias=bias, k_mask=mask[:, None],
+                fused=True, ln=(s_scale, s_bias),
+                residual=res_in[:, None])
+            return out[:, 0]
+        seq_act = layer_norm(seq_act, s_scale, s_bias, dtype=self.dtype)
         out = GatedAttention(
             key_dim=seq_act.shape[-1], value_dim=seq_act.shape[-1],
             output_dim=seq_act.shape[-1], num_head=c.num_head,
-            split_first=False, inp_kernels=getattr(c, 'inp_kernels', ()),
+            split_first=False, inp_kernels=inp,
             dtype=self.dtype, name='attn')(
             seq_act[:, None], bias=bias, k_mask=mask[:, None])
-        return out[:, 0]
+        out = out[:, 0]
+        return res_in + out if residual else out
 
 
 class Transition(nn.Module):
@@ -565,11 +611,17 @@ class SeqformerIteration(nn.Module):
             return shared_dropout(value, cfg.dropout_rate, deterministic,
                                   self.make_rng('dropout'), broadcast_dim)
 
-        seq_act = seq_act + dropout_fn(
-            SeqAttentionWithPairBias(c.seq_attention_with_pair_bias,
-                                     dtype=self.dtype, name='seq_attn')(
-                seq_act, pair_act, seq_mask, deterministic=deterministic),
-            c.seq_attention_with_pair_bias)
+        seq_attn = SeqAttentionWithPairBias(c.seq_attention_with_pair_bias,
+                                            dtype=self.dtype,
+                                            name='seq_attn')
+        if deterministic:
+            # Residual folds into the packed-attention epilogue.
+            seq_act = seq_attn(seq_act, pair_act, seq_mask,
+                               deterministic=True, residual=True)
+        else:
+            seq_act = seq_act + dropout_fn(
+                seq_attn(seq_act, pair_act, seq_mask, deterministic=False),
+                c.seq_attention_with_pair_bias)
         seq_act = seq_act + Transition(c.seq_transition, dtype=self.dtype,
                                        name='seq_transition')(seq_act)
         pair_act = pair_act + OuterProductMean(

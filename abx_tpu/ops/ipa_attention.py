@@ -31,16 +31,19 @@ BIG_NEG = -1e9
 
 
 def _kernel(qs_ref, ks_ref, vs_ref, qp_ref, kp_ref, vp_ref, q2_ref, k2_ref,
-            pw_ref, bias_ref, maskb_ref, pair_ref,
+            bias_ref, maskb_ref, pair_ref,
             out_s_ref, out_p_ref, out_2d_ref, *, h: int):
     """One (batch, row-block) program.
 
+    The per-head point weight pw is FOLDED by the wrapper: qp and the q2/k2
+    row sums arrive pre-scaled by pw_h, so the point term is just
+    q2 + k2 - 2*cross.
+
     qs_ref: (1, H, IB, Ds) bf16 scalar queries, pre-scaled.
     ks_ref/vs_ref: (1, H, L, Ds) bf16.
-    qp_ref: (1, H, IB, Pq*3) f32 centered global query points.
+    qp_ref: (1, H, IB, Pq*3) f32 centered global query points (x pw).
     kp_ref: (1, H, L, Pq*3) f32; vp_ref: (1, H, L, Pv*3) f32.
-    q2_ref: (1, H, IB) f32 |q|^2 row sums; k2_ref: (1, H, L) f32.
-    pw_ref: (1, H) f32 per-head point weights (negative half included).
+    q2_ref: (1, IB, H) f32 pw*|q|^2 row sums; k2_ref: (1, H, L) f32 ditto.
     bias_ref: (1, H, IB, L) f32 pair bias (rows of the hoisted bias).
     maskb_ref: (1, 1, L) f32 additive key mask.
     pair_ref: (1, IB, L, C) pair activations (natural layout).
@@ -55,43 +58,43 @@ def _kernel(qs_ref, ks_ref, vs_ref, qp_ref, kp_ref, vp_ref, q2_ref, k2_ref,
         logits = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (IB, L)
-        qp = qp_ref[0, hh]                     # (IB, P3) f32
+        qp = qp_ref[0, hh]                     # (IB, P3) f32, x pw
         kp = kp_ref[0, hh]                     # (L, P3) f32
         cross = jax.lax.dot_general(
             qp, kp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (IB, L)
-        dist2 = (q2_ref[0, hh][:, None] + k2_ref[0, hh][None, :]
-                 - 2.0 * cross)
-        logits = (logits + pw_ref[0, hh] * dist2
-                  + bias_ref[0, hh] + maskb)
+        point_term = (q2_ref[0, :, hh][:, None] + k2_ref[0, hh][None, :]
+                      - 2.0 * cross)
+        logits = logits + point_term + bias_ref[0, hh] + maskb
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs_h.append(e / jnp.sum(e, axis=-1, keepdims=True))
 
-    probs = jnp.stack(probs_h, axis=0)          # (H, IB, L) f32
     in_dt = pair_ref.dtype
-    probs_lp = probs.astype(in_dt)
-
-    # Scalar attend, batched over heads: (H, IB, L) @ (H, L, Ds).
-    out_s = jax.lax.dot_general(
-        probs_lp, vs_ref[0], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)     # (H, IB, Ds)
-    ib = out_s.shape[1]
-    out_s_ref[0] = jnp.transpose(out_s, (1, 0, 2)).reshape(
-        ib, -1).astype(out_s_ref.dtype)
-
-    # Point attend in f32 (cancellation-sensitive downstream frame math).
-    out_p = jax.lax.dot_general(
-        probs, vp_ref[0], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)     # (H, IB, Pv3)
-    out_p_ref[0] = jnp.transpose(out_p, (1, 0, 2)).reshape(ib, -1)
+    # Scalar / point attends per head, heads concatenated on lanes
+    # (a (H, IB, D) -> (IB, H*D) transpose+reshape is an unsupported
+    # Mosaic shape cast; lane concat is the supported concat-ready form).
+    outs_s, outs_p = [], []
+    for hh in range(h):
+        p_lp = probs_h[hh].astype(in_dt)            # (IB, L)
+        outs_s.append(jax.lax.dot_general(
+            p_lp, vs_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))    # (IB, Ds)
+        # Point attend in f32 (cancellation-sensitive frame math after).
+        outs_p.append(jax.lax.dot_general(
+            probs_h[hh], vp_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))    # (IB, Pv3)
+    out_s_ref[0] = jnp.concatenate(outs_s, axis=-1).astype(out_s_ref.dtype)
+    out_p_ref[0] = jnp.concatenate(outs_p, axis=-1)
 
     # Pair attend: each query row contracts its own pair row —
     # batch over IB: (IB, H, L) @ (IB, L, C).
+    probs = jnp.stack(probs_h, axis=0)              # (H, IB, L) f32
     out_2d = jax.lax.dot_general(
-        jnp.transpose(probs_lp, (1, 0, 2)), pair_ref[0],
+        jnp.transpose(probs.astype(in_dt), (1, 0, 2)), pair_ref[0],
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)     # (IB, H, C)
+        preferred_element_type=jnp.float32)         # (IB, H, C)
+    ib = out_2d.shape[0]
     out_2d_ref[0] = out_2d.reshape(ib, -1).astype(out_2d_ref.dtype)
 
 
@@ -133,14 +136,19 @@ def ipa_attention(qs, ks, vs, qp, kp, vp, pw, bias, mask, pair,
     qp_hm = head_major(qp.astype(jnp.float32), pq3)
     kp_hm = head_major(kp.astype(jnp.float32), pq3)
     vp_hm = head_major(vp.astype(jnp.float32), pv3)
-    q2 = jnp.sum(qp_hm * qp_hm, axis=-1)            # (B, H, L)
-    k2 = jnp.sum(kp_hm * kp_hm, axis=-1)
+    # Fold the (negative) per-head point weight: scale qp and both squared
+    # norms by pw_h so the in-kernel point term is q2 + k2 - 2*cross.
+    pwf = pw.astype(jnp.float32)
+    q2 = jnp.transpose(jnp.sum(qp_hm * qp_hm, axis=-1)
+                       * pwf[None, :, None], (0, 2, 1))   # (B, L, H)
+    k2 = jnp.sum(kp_hm * kp_hm, axis=-1) * pwf[None, :, None]  # (B, H, L)
+    qp_hm = qp_hm * pwf[None, :, None, None]
 
     rpad = (-l) % row_block
     if rpad:
         pad4 = [(0, 0), (0, 0), (0, rpad), (0, 0)]
         qs_hm, qp_hm = jnp.pad(qs_hm, pad4), jnp.pad(qp_hm, pad4)
-        q2 = jnp.pad(q2, [(0, 0), (0, 0), (0, rpad)])
+        q2 = jnp.pad(q2, [(0, 0), (0, rpad), (0, 0)])
         bias = jnp.pad(bias, [(0, 0), (0, 0), (0, rpad), (0, 0)])
         pair = jnp.pad(pair, [(0, 0), (0, rpad), (0, 0), (0, 0)])
     lp = qs_hm.shape[2]
@@ -157,9 +165,8 @@ def ipa_attention(qs, ks, vs, qp, kp, vp, pw, bias, mask, pair,
         in_specs=[
             blk(ds), full(ds), full(ds),
             blk(pq3), full(pq3), full(pv3),
-            pl.BlockSpec((1, h, row_block), lambda bb, ii: (bb, 0, ii)),
+            pl.BlockSpec((1, row_block, h), lambda bb, ii: (bb, ii, 0)),
             pl.BlockSpec((1, h, l), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((1, h), lambda bb, ii: (bb, 0)),
             blk(l),
             pl.BlockSpec((1, 1, l), lambda bb, ii: (bb, 0, 0)),
             pl.BlockSpec((1, row_block, l, c), lambda bb, ii: (bb, ii, 0, 0)),
@@ -175,8 +182,7 @@ def ipa_attention(qs, ks, vs, qp, kp, vp, pw, bias, mask, pair,
             jax.ShapeDtypeStruct((b, lp, h * c), pair.dtype),
         ],
         interpret=interpret,
-    )(qs_hm, ks_hm, vs_hm, qp_hm, kp_hm, vp_hm,
-      jnp.broadcast_to(pw.astype(jnp.float32)[None], (b, h)),
+    )(qs_hm, ks_hm, vs_hm, qp_hm, kp_hm, vp_hm, q2, k2,
       bias.astype(jnp.float32), maskbias, pair)
     out_s, out_p, out_2d = (o[:, :l] for o in outs)
     return out_s, out_p.reshape(b, l, h, pv3 // 3, 3), out_2d

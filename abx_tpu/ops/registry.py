@@ -70,6 +70,21 @@ def use_ipa_attend_kernel() -> bool:
     return os.environ.get('ABX_IPA_ATTEND', '1') == '1'
 
 
+def use_packed_seq_attn() -> bool:
+    """Packed seq-track attention: reuses the packed triangle-attention
+    kernel at R=1 (LN + per-head q/k/v proj + biased softmax + gate +
+    out-proj + residual in one VMEM pass).  TPU inference only."""
+    return os.environ.get('ABX_PACKED_SEQ_ATTN', '1') == '1'
+
+
+def use_fused_ipa_attention() -> bool:
+    """Fully fused IPA attention (logits + softmax + all three attends in
+    one VMEM pass, ops/ipa_attention.py) — supersedes the attend-only
+    kernel when ON; the (B, H, L, L) logits/probs never exist in HBM.
+    TPU inference only."""
+    return os.environ.get('ABX_FUSED_IPA_ATTN', '1') == '1'
+
+
 def use_gate_proj_kernel() -> bool:
     """Fused attention epilogue (gate -> proj -> +residual).  Default OFF:
     XLA already fuses the sigmoid-gate into the projection's operand

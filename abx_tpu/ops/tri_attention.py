@@ -334,6 +334,14 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
                  pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0))]
     operands += [bias.astype(x.dtype), maskbias]
 
+    kwargs = {}
+    bias_bytes = h * l * l * jnp.dtype(x.dtype).itemsize
+    if _HAS_PLTPU and not interpret and bias_bytes > 4 * 1024 * 1024:
+        # 32-head seq-track shape: the per-program (H, L, L) bias block
+        # alone is ~5 MB double-buffered; raise the scoped-VMEM budget
+        # (v5e has 128 MB physical VMEM).
+        kwargs['compiler_params'] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(_packed_kernel, scale=scale,
                           bf16_softmax=bf16_softmax,
@@ -342,6 +350,7 @@ def triangle_attention_packed(x, wq, wk, wv, bias, mask, row_block=None,
                           out_proj=out_proj is not None),
         grid=grid,
         in_specs=in_specs,
+        **kwargs,
         out_specs=pl.BlockSpec((1, row_block, l, c_out),
                                lambda bb, rr: (bb, rr, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, rp, l, c_out), x.dtype),

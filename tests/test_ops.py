@@ -531,3 +531,72 @@ class TestPairBiasProj:
             interpret=True))
         np.testing.assert_allclose(got_t, np.moveaxis(want, -1, -3),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestIpaAttentionKernel:
+    @pytest.mark.parametrize('l', [24, 20])  # 20: row-padding path
+    def test_interpret_matches_reference(self, l):
+        from abx_tpu.ops.ipa_attention import (ipa_attention,
+                                               ipa_attention_reference)
+        rng = np.random.RandomState(11)
+        b, h, ds, pq, pv, c = 2, 3, 8, 2, 4, 16
+        qs = rng.randn(b, l, h, ds).astype(np.float32) * 0.5
+        ks = rng.randn(b, l, h, ds).astype(np.float32) * 0.5
+        vs = rng.randn(b, l, h, ds).astype(np.float32)
+        qp = rng.randn(b, l, h, pq, 3).astype(np.float32)
+        kp = rng.randn(b, l, h, pq, 3).astype(np.float32)
+        vp = rng.randn(b, l, h, pv, 3).astype(np.float32)
+        pw = -0.3 * (rng.rand(h).astype(np.float32) + 0.5)
+        bias = rng.randn(b, h, l, l).astype(np.float32)
+        mask = np.ones((b, l), np.float32)
+        mask[:, -3:] = 0.0
+        pair = rng.randn(b, l, l, c).astype(np.float32)
+        args = [jnp.asarray(v) for v in
+                (qs, ks, vs, qp, kp, vp, pw, bias, mask, pair)]
+        want_s, want_p, want_2d = (np.asarray(o) for o in
+                                   ipa_attention_reference(*args))
+        got_s, got_p, got_2d = (np.asarray(o) for o in ipa_attention(
+            *args, row_block=8, interpret=True))
+        np.testing.assert_allclose(got_s, want_s, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got_p, want_p, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got_2d, want_2d, rtol=2e-4, atol=2e-4)
+
+
+class TestPackedSeqAttnWiring:
+    def test_regrouped_weights_match_module(self):
+        """The per-head [q|k|v] -> [q_all|k_all|v_all] weight regrouping
+        feeding the packed kernel reproduces the module's fallback path
+        (LN + fused qkv proj + biased softmax + gate + out-proj + res)."""
+        import ml_collections
+        from abx_tpu.models.seqformer import SeqAttentionWithPairBias
+        from abx_tpu.ops.tri_attention import triangle_attention_packed
+        cfg = ml_collections.ConfigDict(
+            {'num_head': 4, 'orientation': 'per_row', 'dropout_rate': 0.0,
+             'shared_dropout': True})
+        b, l, cs, cp = 1, 12, 16, 8
+        rng = np.random.RandomState(9)
+        seq = jnp.asarray(rng.randn(b, l, cs), jnp.float32)
+        pair = jnp.asarray(rng.randn(b, l, l, cp), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -2:].set(0)
+        m = SeqAttentionWithPairBias(cfg)
+        params = m.init(jax.random.PRNGKey(0), seq, pair, mask)
+        want = np.asarray(m.apply(params, seq, pair, mask, residual=True))
+
+        p = jax.tree_util.tree_map(jnp.asarray, params['params'])
+        attn = p['attn']
+        kin = attn['proj_in']['kernel']
+        h, kd = 4, cs // 4
+        w3 = kin.reshape(cs, h, 3, kd)
+        wq, wk, wv = (w3[:, :, i].reshape(cs, h * kd) for i in range(3))
+        # Pair bias exactly as the module's fallback computes it.
+        pn = (pair - pair.mean(-1, keepdims=True)) / jnp.sqrt(
+            pair.var(-1, keepdims=True) + 1e-5)
+        pn = pn * p['pair_norm']['scale'] + p['pair_norm']['bias']
+        bias = jnp.moveaxis(jnp.dot(pn, p['proj_pair']['kernel']), -1, -3)
+        got = np.asarray(triangle_attention_packed(
+            seq[:, None], wq, wk, wv, bias, mask, row_block=1,
+            ln=(p['seq_norm']['scale'], p['seq_norm']['bias']),
+            gate=(attn['gate']['kernel'], attn['gate']['bias']),
+            out_proj=(attn['proj_out']['kernel'], attn['proj_out']['bias']),
+            residual=seq[:, None], interpret=True))[:, 0]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
