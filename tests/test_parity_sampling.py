@@ -45,6 +45,9 @@ pytestmark = pytest.mark.skipif(not HAS_REFERENCE,
 class _FakeArgs:
     mode = 'trajectory'
 
+    def __init__(self, mode='trajectory'):
+        self.mode = mode
+
 
 def _make_fake_randn(queue):
     import torch
@@ -87,8 +90,18 @@ def _make_fake_poisson(uqueue):
     return FakePoisson
 
 
-def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
+def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
+                            opt_step=None):
     """Run both samplers under shared noise; return per-step deviations.
+
+    With `opt_step`, both sides run OPTIMIZE mode (reference
+    inference.py:201-204): the t-grid truncates to steps <= opt_step/num_t
+    and the initial state is the abx_tpu pipeline's forward-corruption of
+    the ground truth at that t (handed to torch verbatim, as with design
+    mode's init noise).  The reference then keeps only the final step
+    (inference.py:269-270), so the comparison covers the end state — any
+    mid-chain divergence propagates to it.  The queue-drained asserts
+    additionally prove both sides ran the SAME truncated grid.
 
     Returns dict with 'bb_dev' (num_t,) max backbone deviation per step in
     Angstroms, 'seq_equal' (num_t,) bool, plus the final-step values.
@@ -149,8 +162,10 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     params = convert_score_network(sd, esm_enabled=False)
 
     # ---- abx_tpu side: production scan path with injected noise ----------
+    mode = 'optimize' if opt_step is not None else 'trajectory'
     sampler = Sampler(model, diffuser, cfg.model,
-                      SamplerConfig(num_t=num_t, mode='trajectory',
+                      SamplerConfig(num_t=num_t, mode=mode,
+                                    opt_step=opt_step,
                                     generate_area=generate_area,
                                     collect_trajectory=True))
     key = jax.random.PRNGKey(seed)
@@ -186,6 +201,11 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     # TMscore head fancy-indexes with them (head.py:135).
     torch_static['atom14_gt_exists'] = (
         torch_static['atom14_gt_exists'] > 0)
+    if opt_step is not None:
+        # Reference reads the optimize re-noise level from batch['t']
+        # (inference.py:202).
+        torch_static['t'] = torch.full((b,), opt_step / num_t,
+                                       dtype=torch.float32)
 
     # Reference consumes per step (t > min_t): SO3 z then R3 z; our scan
     # slot j covers scan iteration j (0 = prime, discarded; n = final,
@@ -211,10 +231,12 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     poisson_mod.Poisson = _make_fake_poisson(uqueue)
     try:
         with torch.no_grad():
-            inference.sample_fn(torch_static, ref_conf, ref_diffuser,
-                                ref_model, _FakeArgs(), num_t=num_t,
-                                min_t=0.01, center=True, self_condition=True,
-                                noise_scale=1.0)
+            inference.sample_fn(
+                torch_static, ref_conf, ref_diffuser, ref_model,
+                _FakeArgs('optimize' if opt_step is not None
+                          else 'trajectory'),
+                num_t=num_t, min_t=0.01, center=True, self_condition=True,
+                noise_scale=1.0)
     finally:
         inference.postprocess_trajectory = real_post
         torch.randn = real_randn
@@ -222,6 +244,11 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     assert not zqueue and not uqueue, 'reference consumed unexpected draws'
 
     ref_traj = captured['traj']
+    if opt_step is not None:
+        # Optimize mode keeps only the final step (inference.py:269-270);
+        # align it with our last scan slot.
+        assert len(ref_traj) == 1
+        ref_traj = [None] * (n - 1) + list(ref_traj)
     assert len(ref_traj) == n
 
     ab_len = model.antibody_len
@@ -231,6 +258,9 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr'):
     bb_dev = np.zeros((n,))
     seq_equal = np.zeros((n,), dtype=bool)
     for k in range(n):
+        if ref_traj[k] is None:   # optimize mode: only the final step kept
+            seq_equal[k] = True
+            continue
         ref_atoms = ref_traj[k]['atom14_results'].detach().numpy()[0]
         my_atoms = traj['atom14'][k, 0, :ab_len]
         d = np.linalg.norm(my_atoms[:, :3] - ref_atoms[:, :3], axis=-1)
@@ -255,6 +285,16 @@ class TestSharedNoiseSamplingParity:
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['final_bb_dev'] <= 0.1, res['bb_dev']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    def test_optimize_mode_parity(self):
+        # Optimize mode: forward-corrupt to t = 8/25, reverse on the
+        # truncated grid.  The drained-queue asserts inside the harness
+        # prove both sides ran the same truncated grid; the final state
+        # must match (divergence anywhere in the chain would propagate).
+        res = run_shared_noise_parity(num_t=25, generate_area='cdr',
+                                      opt_step=8)
+        assert res['seq_equal'][-1], 'final sequences differ'
+        assert res['final_bb_dev'] <= 0.1, res['final_bb_dev']
 
     @pytest.mark.skipif(os.environ.get('ABX_SLOW_PARITY', '0') != '1',
                         reason='set ABX_SLOW_PARITY=1 for the T=100 run')
