@@ -189,7 +189,33 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool):
     return samples_per_hr, detail
 
 
+def _probe_device(timeout_s: int = 300) -> None:
+    """Fail FAST with a diagnostic JSON line if the TPU backend is
+    unreachable.  The axon tunnel BLOCKS (not errors) on backend init when
+    the remote pool is down; without this probe a bench invocation hangs
+    until the caller's timeout with no output at all."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; print(len(jax.devices()))'],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0:
+            return
+        err = (r.stderr or '').strip().splitlines()[-1:] or ['unknown']
+        reason = f'device init failed: {err[0][:200]}'
+    except subprocess.TimeoutExpired:
+        reason = f'device init timed out after {timeout_s}s (tunnel down?)'
+    print(json.dumps({
+        'metric': 'design_samples_per_hour_per_chip', 'value': 0,
+        'unit': 'samples/hr', 'vs_baseline': 0,
+        'detail': {'error': reason},
+    }))
+    sys.exit(1)
+
+
 def main():
+    if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+        _probe_device()
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
     bf16 = os.environ.get('BENCH_BF16', '1') == '1'
