@@ -91,7 +91,10 @@ def _make_fake_poisson(uqueue):
 
 
 def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
-                            opt_step=None):
+                            opt_step=None,
+                            pdb='testdata/6ct7_H_L_S.pdb',
+                            heavy='H', light='L', antigen=('S',),
+                            noise_scale=1.0, ab_len=224, ag_len=16):
     """Run both samplers under shared noise; return per-step deviations.
 
     With `opt_step`, both sides run OPTIMIZE mode (reference
@@ -144,15 +147,15 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
         cfg.diffuser.so3.num_omega = 200
         cfg.diffuser.so3.num_sigma = 100
         cfg.diffuser.so3.cache_dir = '/tmp/igso3_test'
-        cfg.data.max_antibody_len = 224
-        cfg.data.max_antigen_len = 16
+        cfg.data.max_antibody_len = ab_len
+        cfg.data.max_antigen_len = ag_len
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     model = ScoreNetwork(cfg.model, diffuser=diffuser,
                          antibody_len=cfg.data.max_antibody_len)
 
     from abx_tpu.data import dataset as ds
     from abx_tpu.data.dataset import DataConfig
-    ex = ds.complex_from_pdb('testdata/6ct7_H_L_S.pdb', 'H', 'L', ['S'])
+    ex = ds.complex_from_pdb(pdb, heavy, light, list(antigen))
     feats, meta = ds.prepare_example(
         ex, DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len))
     feats = {k: jnp.asarray(v[None]) for k, v in feats.items()}
@@ -167,6 +170,7 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
                       SamplerConfig(num_t=num_t, mode=mode,
                                     opt_step=opt_step,
                                     generate_area=generate_area,
+                                    noise_scale=noise_scale,
                                     collect_trajectory=True))
     key = jax.random.PRNGKey(seed)
     state, static, static_acts, dmask, k_scan = sampler._init(
@@ -236,7 +240,7 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
                 _FakeArgs('optimize' if opt_step is not None
                           else 'trajectory'),
                 num_t=num_t, min_t=0.01, center=True, self_condition=True,
-                noise_scale=1.0)
+                noise_scale=noise_scale)
     finally:
         inference.postprocess_trajectory = real_post
         torch.randn = real_randn
@@ -284,6 +288,16 @@ class TestSharedNoiseSamplingParity:
         res = run_shared_noise_parity(num_t=8, generate_area='cdr')
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['final_bb_dev'] <= 0.1, res['bb_dev']
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    def test_multichain_antigen_noise_scale_parity(self):
+        # Multi-chain antigen assembly (6qd7: chains F+E merged) plus a
+        # non-default reverse noise_scale, through the full loop.
+        res = run_shared_noise_parity(
+            num_t=6, generate_area='cdr', pdb='testdata/6qd7_X_Z_F|E.pdb',
+            heavy='X', light='Z', antigen=('F', 'E'), noise_scale=0.5,
+            ab_len=232)
+        assert res['seq_equal'].all(), res['seq_equal']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
 
     def test_optimize_mode_parity(self):
