@@ -49,6 +49,66 @@ class _FakeArgs:
         self.mode = mode
 
 
+# Mini ESM2 shape for the ESM-conditioned parity run (tests/mini_torch_esm2).
+ESM_NL, ESM_DIM, ESM_HEADS = 2, 64, 4
+
+
+def _install_mini_fair_esm(mini_model):
+    """Expose the vendored mini torch ESM2 through the fair-esm API the
+    reference consumes (`load_model_and_alphabet_local`, encoder.py:11,31).
+
+    The alphabet/batch-converter below implements the PUBLISHED fair-esm
+    conventions independently of abx_tpu's integer retokeniser (cls=0,
+    pad=1, eos=2, aa ids 4..23 in 'LAGVSERTIDPKQNFYMHWC' order, X=24;
+    [cls] + seq + [eos], right-padded), so the string-round-trip vs
+    integer-retokenisation equivalence is part of what the parity run
+    tests."""
+    import torch
+
+    class _Alphabet:
+        padding_idx = 1
+
+        def get_batch_converter(self):
+            toks_of = {aa: i + 4
+                       for i, aa in enumerate('LAGVSERTIDPKQNFYMHWC')}
+            toks_of['X'] = 24
+
+            def convert(data):
+                seqs = [s for _, s in data]
+                maxlen = max(len(s) for s in seqs)
+                toks = torch.full((len(seqs), maxlen + 2), 1,
+                                  dtype=torch.long)
+                for i, s in enumerate(seqs):
+                    toks[i, 0] = 0
+                    for j, aa in enumerate(s):
+                        toks[i, 1 + j] = toks_of[aa]
+                    toks[i, 1 + len(s)] = 2
+                return [lab for lab, _ in data], seqs, toks
+
+            return convert
+
+    class _FairESM(torch.nn.Module):
+        """fair-esm forward API over MiniESM2."""
+
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def half(self):
+            # Reference casts ESM to fp16 (encoder.py:32) — a precision
+            # (not wiring) choice; stay f32 to match the flax side.
+            return self
+
+        def forward(self, tokens, repr_layers=(), need_head_weights=False):
+            del need_head_weights
+            hidden = self.m(tokens)
+            return {'representations': {r: hidden[r] for r in repr_layers}}
+
+    import abx.model.encoder as ref_encoder
+    ref_encoder.load_model_and_alphabet_local = (
+        lambda path: (_FairESM(mini_model), _Alphabet()))
+
+
 def _make_fake_randn(queue):
     import torch
 
@@ -94,7 +154,8 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
                             opt_step=None,
                             pdb='testdata/6ct7_H_L_S.pdb',
                             heavy='H', light='L', antigen=('S',),
-                            noise_scale=1.0, ab_len=224, ag_len=16):
+                            noise_scale=1.0, ab_len=224, ag_len=16,
+                            esm=False):
     """Run both samplers under shared noise; return per-step deviations.
 
     With `opt_step`, both sides run OPTIMIZE mode (reference
@@ -120,9 +181,35 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
 
     torch.manual_seed(seed)
 
+    from abx_tpu.data import dataset as ds
+    ex = ds.complex_from_pdb(pdb, heavy, light, list(antigen))
+    mini_esm = None
+    if esm:
+        # ESM-conditioned loop: the vendored mini torch ESM2 plays fair-esm
+        # on the reference side (exposed through the load_model_and_alphabet
+        # _local API the reference imports, encoder.py:11); the SAME
+        # checkpoint converts to the flax side via convert_esm2_ckpt.  The
+        # reference pads the esm embedding only to max(h+l) across the
+        # batch (pad_for_batch, encoder.py:108) while its seq act carries
+        # the full static antibody length, so the antibody must be UNPADDED
+        # here: set the shape budget to exactly h+l.
+        h_real = int((ex['antibody_chain_ids'] == 0).sum())
+        l_real = int((ex['antibody_chain_ids'] == 1).sum())
+        ab_len = h_real + l_real
+        from tests.mini_torch_esm2 import MiniESM2
+        torch.manual_seed(seed + 7)
+        mini_esm = MiniESM2(ESM_NL, ESM_DIM, ESM_HEADS)
+        mini_esm.eval()
+
     with open(os.path.join(REFERENCE, 'config/config_model.json')) as f:
         ref_cfg = json.load(f)
-    ref_cfg['model']['embeddings_and_seqformer']['esm']['enabled'] = False
+    esm_c = ref_cfg['model']['embeddings_and_seqformer']['esm']
+    esm_c['enabled'] = bool(esm)
+    if esm:
+        esm_c['embed_channel'] = ESM_DIM
+        esm_c['num_layers'] = ESM_NL
+        esm_c['esm_embed'].update(repr_layer=list(range(ESM_NL + 1)),
+                                  model_path='mini', sep_pad_num=48)
     ref_cfg['model']['num_recycle'] = 0
     ref_cfg['diffuser']['so3'].update(
         num_omega=200, num_sigma=100, cache_dir='/tmp/ref_igso3',
@@ -131,6 +218,8 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
 
     from diffuser.full_diffuser import FullDiffuser
     from abx.model.abx import ScoreNetwork as RefScoreNetwork
+    if esm:
+        _install_mini_fair_esm(mini_esm)
     ref_diffuser = FullDiffuser(ref_conf.diffuser)
     ref_model = RefScoreNetwork(model_conf=ref_conf.model,
                                 diffuser=ref_diffuser)
@@ -149,20 +238,41 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
         cfg.diffuser.so3.cache_dir = '/tmp/igso3_test'
         cfg.data.max_antibody_len = ab_len
         cfg.data.max_antigen_len = ag_len
+        es = cfg.model.embeddings_and_seqformer.esm
+        es.enabled = bool(esm)
+        if esm:
+            es.embed_channel = ESM_DIM
+            es.num_layers = ESM_NL
+            es.num_heads = ESM_HEADS
     diffuser = JointDiffuser(JointConfig.from_dict(cfg.diffuser.to_dict()))
     model = ScoreNetwork(cfg.model, diffuser=diffuser,
                          antibody_len=cfg.data.max_antibody_len)
 
-    from abx_tpu.data import dataset as ds
     from abx_tpu.data.dataset import DataConfig
-    ex = ds.complex_from_pdb(pdb, heavy, light, list(antigen))
     feats, meta = ds.prepare_example(
         ex, DataConfig(cfg.data.max_antibody_len, cfg.data.max_antigen_len))
     feats = {k: jnp.asarray(v[None]) for k, v in feats.items()}
 
     from abx_tpu.utils.torch_convert import convert_score_network
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
-    params = convert_score_network(sd, esm_enabled=False)
+    params = convert_score_network(sd, esm_enabled=bool(esm))
+
+    esm_fn, esm_params = None, None
+    if esm:
+        # Same mini checkpoint -> flax via the golden-tested converter.
+        import tempfile
+        from abx_tpu.models.esm import (AntibodyESM, ESM2Config,
+                                        stack_layer_params)
+        from abx_tpu.utils.torch_convert import convert_esm2_ckpt
+        with tempfile.TemporaryDirectory() as td:
+            ck = os.path.join(td, 'mini_esm2.pt')
+            torch.save({'model': mini_esm.state_dict()}, ck)
+            esm_params = stack_layer_params(
+                convert_esm2_ckpt(ck, num_layers=ESM_NL), ESM_NL)
+        esm_cfg = ESM2Config(num_layers=ESM_NL, embed_dim=ESM_DIM,
+                             attention_heads=ESM_HEADS)
+        esm_fn = AntibodyESM(esm_cfg, ab_len, sep_pad_num=48,
+                             dtype=jnp.float32, scan_layers=True)
 
     # ---- abx_tpu side: production scan path with injected noise ----------
     mode = 'optimize' if opt_step is not None else 'trajectory'
@@ -171,7 +281,8 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
                                     opt_step=opt_step,
                                     generate_area=generate_area,
                                     noise_scale=noise_scale,
-                                    collect_trajectory=True))
+                                    collect_trajectory=True),
+                      esm_fn=esm_fn, esm_params=esm_params)
     key = jax.random.PRNGKey(seed)
     state, static, static_acts, dmask, k_scan = sampler._init(
         params, feats, key)
@@ -210,6 +321,12 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
         # (inference.py:202).
         torch_static['t'] = torch.full((b,), opt_step / num_t,
                                        dtype=torch.float32)
+    if esm:
+        # The reference ESM embedding re-tokenises seq_t as STRINGS, using
+        # these fields for chain lengths/labels (encoder.py:75-95).
+        torch_static['name'] = ['parity']
+        torch_static['str_heavy_seq'] = [meta['str_heavy_seq']]
+        torch_static['str_light_seq'] = [meta['str_light_seq']]
 
     # Reference consumes per step (t > min_t): SO3 z then R3 z; our scan
     # slot j covers scan iteration j (0 = prime, discarded; n = final,
@@ -297,6 +414,20 @@ class TestSharedNoiseSamplingParity:
             num_t=6, generate_area='cdr', pdb='testdata/6qd7_X_Z_F|E.pdb',
             heavy='X', light='Z', antigen=('F', 'E'), noise_scale=0.5,
             ab_len=232)
+        assert res['seq_equal'].all(), res['seq_equal']
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    def test_esm_conditioned_parity(self):
+        # Full loop WITH ESM conditioning: the reference side runs its real
+        # string-round-trip ESMEmbedding over the vendored mini torch ESM2
+        # (fair-esm API shim); our side runs the converted checkpoint
+        # through AntibodyESM's integer retokeniser inside the scan.
+        # Covers: tokenisation equivalence, [cls|heavy|G48|light|eos]
+        # assembly, per-pass ESM re-runs on updated seq_t, layer-weighted
+        # sum, and the trunk converter's esm branch (esm_embed_weights +
+        # proj_esm_embed) — none of which the ESM-off runs touch.
+        res = run_shared_noise_parity(num_t=6, generate_area='cdr',
+                                      esm=True)
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
 
