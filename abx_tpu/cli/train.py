@@ -91,6 +91,9 @@ def main():
     p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--esm_checkpoint', type=str, default=None,
+                   help='frozen ESM2 conditioning during training (the '
+                        "reference's configuration); fair-esm .pt checkpoint")
     p.add_argument('--tiny', action='store_true')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--verbose', action='store_true')
@@ -102,7 +105,8 @@ def main():
         format='%(asctime)-15s [%(levelname)s] %(message)s')
 
     rt = runner.build_runtime(args.model_config, args.init_checkpoint,
-                              tiny=args.tiny, seed=args.seed)
+                              tiny=args.tiny, seed=args.seed,
+                              esm_checkpoint=args.esm_checkpoint)
     if args.is_cluster_idx:
         names = parse_cluster_file(args.name_idx)
     else:
@@ -117,7 +121,8 @@ def main():
                     decay_steps=args.decay_steps,
                     generate_area=args.generate_area,
                     ema_decay=args.ema_decay,
-                    log_every=args.log_every))
+                    log_every=args.log_every),
+        esm_fn=rt.esm_fn, esm_params=rt.esm_params)
     ckpt = os.path.join(args.output_dir, 'params.msgpack')
     if args.resume and os.path.exists(ckpt + '.train'):
         state = trainer.load_train_state(ckpt, rt.params)

@@ -69,7 +69,16 @@ def make_optimizer(cfg: TrainConfig):
 class Trainer:
     def __init__(self, model, diffuser, model_config, loss_config,
                  train_config: TrainConfig = TrainConfig(),
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None,
+                 esm_fn=None, esm_params=None):
+        """`esm_fn`/`esm_params`: optional frozen ESM2 conditioning, as in
+        the reference's training configuration (encoder.py:32
+        `requires_grad_(False)`): the ESM forward runs inside every trunk
+        pass on the current noisy sequence, gradients flow only into the
+        trunk's projection of its output — never into ESM itself (its
+        inputs are integer tokens and its params are not differentiated).
+        `esm_params` is threaded through jit as a runtime argument (a
+        closed-over 3B tree would be baked into the executable)."""
         self.model = model
         self.diffuser = diffuser
         self.model_config = model_config
@@ -78,6 +87,8 @@ class Trainer:
         self.mesh = mesh or mesh_lib.make_mesh()
         self.optimizer = make_optimizer(train_config)
         self.feature_builder = FeatureBuilder(is_training=True)
+        self.esm_fn = esm_fn
+        self.esm_params = esm_params if esm_params is not None else {}
         self._step_fn = jax.jit(self._build_step())
 
     def init_state(self, params) -> Dict:
@@ -96,14 +107,17 @@ class Trainer:
 
         model_config = self.model_config
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, esm_params, batch, key):
             # Robust two-pass LayerNorm variance for training numerics
             # (trace-time scoped; inference keeps the fused one-pass form).
             from abx_tpu.models.modules import two_pass_layer_norm
             with two_pass_layer_norm():
-                return _loss_body(params, batch, key)
+                return _loss_body(params, esm_params, batch, key)
 
-        def _loss_body(params, batch, key):
+        def _loss_body(params, esm_params, batch, key):
+            efn = self.esm_fn
+            if efn is not None and esm_params:
+                efn = functools.partial(self.esm_fn, esm_params)
             k_noise, k_drop, k_rec = jax.random.split(key, 3)
             batch = self.feature_builder(batch)
             batch = make_diffuser_features(
@@ -125,7 +139,8 @@ class Trainer:
                 # Independent dropout masks per recycle pass (a shared key
                 # would correlate masks across passes).
                 k_pass = jax.random.fold_in(k_drop, pass_idx)
-                return model.apply(params, mb, compute_loss=compute_loss,
+                return model.apply(params, mb, esm_fn=efn,
+                                   compute_loss=compute_loss,
                                    deterministic=False,
                                    rngs={'dropout': k_pass}, num_recycle=0,
                                    static_acts=static_acts)
@@ -140,9 +155,10 @@ class Trainer:
             out = total_loss(batch, outputs, self.loss_config, antibody_len)
             return out['loss'], out['metrics']
 
-        def train_step(state, batch, key):
+        def train_step(state, esm_params, batch, key):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state['params'], batch, key)
+                loss_fn, has_aux=True)(state['params'], esm_params, batch,
+                                       key)
             updates, opt_state = self.optimizer.update(
                 grads, state['opt_state'], state['params'])
             params = optax.apply_updates(state['params'], updates)
@@ -160,7 +176,7 @@ class Trainer:
 
     def step(self, state, batch, key):
         batch = mesh_lib.shard_batch(self.mesh, batch)
-        return self._step_fn(state, batch, key)
+        return self._step_fn(state, self.esm_params, batch, key)
 
     def fit(self, state, data_iter: Iterator, num_steps: int,
             key, checkpoint_path: Optional[str] = None,

@@ -283,3 +283,87 @@ class TestSamplerWithESM:
                           esm_fn=esm_fn, esm_params=esm_params)
         out = sampler.sample(params, feats, jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(out['atom14'])))
+
+
+class TestTrainerWithESM:
+    def test_esm_conditioned_train_step(self):
+        """Frozen-ESM conditioning through the training step (the
+        reference's training configuration, encoder.py:32): loss finite,
+        trunk params (incl. the esm projection) update, ESM params are a
+        runtime argument that never enters the optimizer state."""
+        from abx_tpu.config import tiny_model_config
+        from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+        from abx_tpu.models.esm import AntibodyESM, stack_layer_params
+        from abx_tpu.models.network import ScoreNetwork
+        from abx_tpu.train.trainer import TrainConfig, Trainer
+
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+        diffuser = JointDiffuser(
+            JointConfig.from_dict(cfg.diffuser.to_dict()))
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        l = l_ab + l_ag
+        rng = np.random.RandomState(3)
+        anchor = np.zeros((1, l_ab), np.int32)
+        anchor[:, 10] = 5
+        anchor[:, 20] = 5
+        batch = {
+            'seq': rng.randint(0, 20, (1, l)).astype(np.int32),
+            'mask': np.ones((1, l), np.float32),
+            'atom14_gt_positions': (5.0 * rng.randn(1, l, 14, 3)).astype(
+                np.float32),
+            'atom14_gt_exists': np.ones((1, l, 14), np.float32),
+            'cdr_def': np.zeros((1, l), np.int32),
+            'chain_id': np.zeros((1, l), np.int32),
+            'residx': np.tile(np.arange(l, dtype=np.int32), (1, 1)),
+            'anchor_flag': anchor,
+            'heavy_len': np.asarray([30], np.int32),
+            'light_len': np.asarray([15], np.int32),
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        tok = build_esm_tokens(batch['seq'][:, :l_ab], batch['heavy_len'],
+                               batch['light_len'])
+        esm_params = stack_layer_params(
+            esm_model.init(jax.random.PRNGKey(1), tok), esm_cfg.num_layers)
+        esm_fn = AntibodyESM(esm_cfg, l_ab, dtype=jnp.float32,
+                             scan_layers=True)
+
+        model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                             antibody_len=l_ab)
+        from abx_tpu.data.features import (FeatureBuilder,
+                                           make_diffuser_features)
+        init_batch = FeatureBuilder()(dict(batch))
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(
+            jax.random.PRNGKey(0), init_batch, compute_loss=True,
+            esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
+
+        trainer = Trainer(model, diffuser, cfg.model, cfg.loss,
+                          TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                                      ema_decay=0.0),
+                          esm_fn=esm_fn, esm_params=esm_params)
+        state = trainer.init_state(params)
+        # Two steps: warmup LR is 0 at the very first update.
+        state2, metrics = trainer.step(state, batch, jax.random.PRNGKey(2))
+        state2, metrics = trainer.step(state2, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics['total']))
+        # The esm projection weights receive gradient (ESM participates).
+        def find_esm_proj(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return [(jax.tree_util.keystr(k), v) for k, v in flat
+                    if 'esm' in jax.tree_util.keystr(k).lower()]
+        before = dict(find_esm_proj(state['params']))
+        after = dict(find_esm_proj(state2['params']))
+        assert before, 'esm projection params missing from the trunk tree'
+        changed = [k for k in before
+                   if not np.allclose(np.asarray(before[k]),
+                                      np.asarray(after[k]))]
+        assert changed, 'no esm-related trunk param updated'
