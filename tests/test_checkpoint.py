@@ -77,3 +77,46 @@ def test_overfit_cdr_artifact_end_state():
     assert result['generate_area'] == 'cdr'
     assert result['h3_rmsd_mean'] < 2.0, result   # all-CDR RMSD
     assert result['h3_aar_mean'] > 0.9, result
+
+
+def test_trainer_restore_prefers_newer_orbax(tmp_path):
+    """Crash-resume (ADVICE r2): with use_orbax, periodic saves land only
+    in <ckpt>.orbax/ while the msgpack .train file is written at clean
+    exit — load_train_state must restore whichever is NEWER."""
+    if not ckpt_lib.orbax_available():
+        import pytest
+        pytest.skip('orbax not installed')
+    import types
+    from abx_tpu.config import tiny_model_config
+    from abx_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = tiny_model_config()
+    model = types.SimpleNamespace(antibody_len=8, dtype=jnp.float32)
+    trainer = Trainer(model, None, cfg.model, cfg.loss,
+                      TrainConfig(use_orbax=True, ema_decay=0.0))
+    params = {'params': {'w': jnp.ones((3,))}}
+    state = trainer.init_state(params)
+
+    ckpt = str(tmp_path / 'params.msgpack')
+    # Clean-exit msgpack at step 2.
+    s2 = dict(state, step=jnp.asarray(2))
+    trainer._save(ckpt, s2)
+    # Later periodic orbax save at step 5 (the "crash" leaves it newest).
+    ck = ckpt_lib.OrbaxCheckpointer(ckpt + '.orbax')
+    s5 = dict(state, step=jnp.asarray(5),
+              params={'params': {'w': 5.0 * jnp.ones((3,))}})
+    ck.save(5, s5)
+    ck.wait()
+    ck.close()
+
+    restored = trainer.load_train_state(ckpt, params)
+    assert int(restored['step']) == 5
+    np.testing.assert_allclose(restored['params']['params']['w'], 5.0)
+
+    # And the msgpack wins when it is newer.
+    s9 = dict(state, step=jnp.asarray(9),
+              params={'params': {'w': 9.0 * jnp.ones((3,))}})
+    trainer._save(ckpt, s9)
+    restored = trainer.load_train_state(ckpt, params)
+    assert int(restored['step']) == 9
+    np.testing.assert_allclose(restored['params']['params']['w'], 9.0)
