@@ -127,6 +127,65 @@ class TestShardedSampling:
         assert out['atom14'].shape[0] == 8
         assert np.all(np.isfinite(np.asarray(out['atom14'])))
 
+    def test_esm_conditioned_sharded_matches_unsharded(self, tiny_setup):
+        """The FLAGSHIP configuration (frozen-ESM conditioning, the
+        reference's actual setup — encoder.py:31) over the mesh: batch-
+        sharded sampling with replicated trunk + ESM params must match the
+        unsharded run (pure data parallelism; ESM params ride jit as a
+        replicated runtime argument, never a per-shard one)."""
+        from abx_tpu.models.esm import (AntibodyESM, ESM2, ESM2Config,
+                                        build_esm_tokens,
+                                        stack_layer_params)
+        from abx_tpu.parallel import mesh as mesh_lib
+        cfg, diffuser, _, _, _ = tiny_setup
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        model = ScoreNetwork(cfg.model, diffuser=diffuser,
+                             antibody_len=l_ab)
+        feats8 = _make_feats(l_ab, l_ag, batch=8)
+        feats8['heavy_len'] = np.full((8,), 30, np.int32)
+        feats8['light_len'] = np.full((8,), 15, np.int32)
+
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        tok = build_esm_tokens(jnp.asarray(feats8['seq'][:, :l_ab]),
+                               jnp.asarray(feats8['heavy_len']),
+                               jnp.asarray(feats8['light_len']))
+        esm_params = stack_layer_params(
+            esm_model.init(jax.random.PRNGKey(1), tok), esm_cfg.num_layers)
+        esm_fn = AntibodyESM(esm_cfg, l_ab, dtype=jnp.float32,
+                             scan_layers=True)
+
+        init_batch = FeatureBuilder()(
+            {k: jnp.asarray(v) for k, v in feats8.items()})
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(
+            jax.random.PRNGKey(0), init_batch,
+            esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
+
+        scfg = SamplerConfig(num_t=2, mode='design')
+        ref = Sampler(model, diffuser, cfg.model, scfg,
+                      esm_fn=esm_fn, esm_params=esm_params).sample(
+                          params, feats8, jax.random.PRNGKey(3))
+
+        mesh = mesh_lib.make_mesh()
+        sampler = Sampler(model, diffuser, cfg.model, scfg, esm_fn=esm_fn,
+                          esm_params=mesh_lib.replicate(mesh, esm_params))
+        out = sampler.sample(mesh_lib.replicate(mesh, params),
+                             mesh_lib.shard_batch(mesh, feats8),
+                             jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(out['atom14']),
+                                   np.asarray(ref['atom14']),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out['seq']),
+                                      np.asarray(ref['seq']))
+
 
 class TestTrainStep:
     def test_loss_decreases_on_overfit(self, tiny_setup):
