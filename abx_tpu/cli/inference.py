@@ -37,6 +37,10 @@ def main():
                    help='skip samples whose output PDB already exists')
     p.add_argument('--esm_checkpoint', type=str, default=None,
                    help='ESM2 weights (.pt fair-esm or converted msgpack)')
+    p.add_argument('--esm_reuse_recycles', action='store_true',
+                   help='OPT-IN, output-changing: one ESM pass per diffusion '
+                        'step, reused across recycle passes (~3x less ESM '
+                        'compute; quality eval in docs/ESM.md)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
@@ -83,7 +87,7 @@ def main():
         generate_area=args.generate_area, num_t=args.num_t,
         opt_steps=args.optimize_steps, seed=args.seed,
         batch_samples=args.batch_samples, resume=args.resume,
-        aot_dir=args.aot_dir)
+        aot_dir=args.aot_dir, esm_reuse_recycles=args.esm_reuse_recycles)
 
 
 if __name__ == '__main__':

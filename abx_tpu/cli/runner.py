@@ -59,7 +59,9 @@ def build_runtime(model_config_path: Optional[str] = None,
                   seed: int = 0,
                   bf16: bool = False,
                   esm_checkpoint: Optional[str] = None,
-                  esm_random: bool = False) -> Runtime:
+                  esm_random: bool = False,
+                  esm_layers: Optional[int] = None,
+                  esm_dim: Optional[int] = None) -> Runtime:
     from abx_tpu.utils.compile_cache import enable as _enable_cache
     _enable_cache()
     if tiny:
@@ -79,6 +81,12 @@ def build_runtime(model_config_path: Optional[str] = None,
         # projection params are created and mapped.
         with cfg.unlocked():
             cfg.model.embeddings_and_seqformer.esm.enabled = True
+            # Shape overrides (smaller-than-3B encoders: ablations /
+            # quality studies with esm_random; released smaller ESM2 ckpts).
+            if esm_layers:
+                cfg.model.embeddings_and_seqformer.esm.num_layers = esm_layers
+            if esm_dim:
+                cfg.model.embeddings_and_seqformer.esm.embed_channel = esm_dim
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = ScoreNetwork(cfg.model, diffuser=diffuser,
                          antibody_len=cfg.data.max_antibody_len,
@@ -234,7 +242,8 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                  complexes, num_samples: int = 1, generate_area: str = 'H3',
                  num_t: Optional[int] = None, opt_steps: Sequence[int] = (),
                  seed: int = 42, batch_samples: Optional[int] = None,
-                 resume: bool = False, aot_dir: Optional[str] = None):
+                 resume: bool = False, aot_dir: Optional[str] = None,
+                 esm_reuse_recycles: bool = False):
     """Main sampling driver.
 
     For throughput, up to `batch_samples` independent samples of one complex
@@ -256,7 +265,8 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                                else ('trajectory' if mode_name == 'trajectory'
                                      else 'design')),
             opt_step=opt_step, generate_area=generate_area,
-            collect_trajectory=(mode_name == 'trajectory'))
+            collect_trajectory=(mode_name == 'trajectory'),
+            esm_reuse_recycles=esm_reuse_recycles)
         sampler = Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
                           esm_fn=runtime.esm_fn,
                           esm_params=runtime.esm_params)

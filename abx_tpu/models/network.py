@@ -85,6 +85,9 @@ class ScoreNetworkIteration(nn.Module):
     def static_embeddings(self, batch):
         return self.seqformer.static_embeddings(batch)
 
+    def esm_layer_weights(self):
+        return self.seqformer.esm_layer_weights()
+
     def __call__(self, batch, esm_embedding=None, esm_fn=None,
                  compute_loss=False, deterministic=True, static_acts=None):
         c = self.config
@@ -202,6 +205,10 @@ class ScoreNetwork(nn.Module):
         """Trajectory-invariant embedding terms; the sampler computes them
         once per trajectory and passes them back via `static_acts`."""
         return self.impl.static_embeddings(batch)
+
+    def esm_layer_weights(self):
+        """Softmaxed learned ESM layer weights (for hoisted ESM callers)."""
+        return self.impl.esm_layer_weights()
 
     def __call__(self, batch, esm_fn=None, compute_loss=False,
                  deterministic=True, num_recycle: Optional[int] = None,

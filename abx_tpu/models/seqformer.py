@@ -762,6 +762,13 @@ class EmbeddingAndSeqformer(nn.Module):
         return (jnp.clip(offset + c.max_relative_feature, 0,
                          2 * c.max_relative_feature) + 1).astype(jnp.int32)
 
+    def esm_layer_weights(self):
+        """Learned softmax weights over ESM layer representations — exposed
+        so callers that hoist the ESM forward (Sampler's opt-in
+        esm_reuse_recycles) can compute the weighted embedding outside the
+        trunk and feed it back via `batch['esm_weighted']`."""
+        return nn.softmax(self.esm_embed_weights)
+
     def static_embeddings(self, batch):
         """Trajectory-invariant embedding terms.
 
@@ -809,7 +816,16 @@ class EmbeddingAndSeqformer(nn.Module):
 
         if c.esm.enabled:
             layer_weights = nn.softmax(self.esm_embed_weights)
-            if esm_fn is not None:
+            if 'esm_weighted' in batch:
+                # Pre-weighted (B, L_ab, D) embedding computed by the caller
+                # (Sampler esm_reuse_recycles: ONE ESM pass per diffusion
+                # step, shared across the recycle passes instead of the
+                # reference's per-pass recomputation, abx.py:89-102).
+                # Output-changing vs the reference — opt-in only.  Cast as
+                # the esm_fn path does so a single-pass (num_recycle=0)
+                # forward is bitwise identical either way.
+                esm_act = batch['esm_weighted'].astype(self.dtype)
+            elif esm_fn is not None:
                 # Incremental weighted sum inside the ESM layer loop — the
                 # (B, L, D, num_layers+1) stack is never materialised
                 # (reference encoder.py:72-105 + seqformer.py:186 recompute

@@ -60,7 +60,10 @@ def pair_bias_proj(pair, scale, bias, w, row_block=None, eps: float = 1e-5,
     h = w.shape[-1]
     dt = pair.dtype
     if row_block is None:
-        row_block = 8 if dt == jnp.bfloat16 else 4
+        # transpose_out's (1, H, RB, L) block puts RB in the sublane-checked
+        # position: Mosaic requires it divisible by 8, so the f32 path may
+        # not drop to RB=4 there (working set at RB=8 f32 is ~2 MB — fine).
+        row_block = 8 if (dt == jnp.bfloat16 or transpose_out) else 4
     rpad = (-r) % row_block
     if rpad:
         pair = jnp.pad(pair, [(0, 0), (0, rpad), (0, 0), (0, 0)])

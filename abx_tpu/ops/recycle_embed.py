@@ -41,7 +41,7 @@ def _kernel(sp_ref, tv_ref, pp_ref, s_ref, b_ref, tab_ref, bins_ref,
             out_ref, *, eps: float, c0: int):
     pp = pp_ref[0]                                   # (RB, L, C)
     ln = _ln(pp, s_ref[0], b_ref[0], eps)            # f32
-    bins = bins_ref[0]                               # (RB, L) int32
+    bins = bins_ref[0, :, :, 0]                      # (RB, L) int32
     n_bins = tab_ref.shape[0]
     oh = jax.nn.one_hot(bins, n_bins, dtype=jnp.float32)
     emb = jax.lax.dot_general(
@@ -97,7 +97,12 @@ def recycle_embed(static_pair, t_vec, prev_pair, ln_scale, ln_bias,
             pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0)),
             const((1, c)), const((1, c)),
             const(tuple(table.shape)),
-            pl.BlockSpec((1, row_block, l), lambda bb, rr: (bb, rr, 0)),
+            # bins ride as (B, R, L, 1): a 3-D (1, RB, L) block is illegal
+            # under Mosaic when RB < 8 (f32 path, RB=4) — the last two
+            # block dims must be divisible by (8, 128) or match the array;
+            # with the trailing singleton the checked dims are (L, 1),
+            # both full.
+            pl.BlockSpec((1, row_block, l, 1), lambda bb, rr: (bb, rr, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, row_block, l, c),
                                lambda bb, rr: (bb, rr, 0, 0)),
@@ -105,7 +110,8 @@ def recycle_embed(static_pair, t_vec, prev_pair, ln_scale, ln_bias,
         interpret=interpret,
     )(static_pair, t_vec.astype(jnp.float32)[:, None, :], prev_pair,
       row(ln_scale),
-      row(ln_bias), table.astype(jnp.float32), bins.astype(jnp.int32))
+      row(ln_bias), table.astype(jnp.float32),
+      bins.astype(jnp.int32)[..., None])
     return out[:, :l]
 
 

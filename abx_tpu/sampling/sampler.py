@@ -80,6 +80,13 @@ class SamplerConfig:
     mode: str = 'design'            # design | optimize | trajectory
     opt_step: Optional[int] = None  # for optimize mode
     collect_trajectory: bool = False
+    # OPT-IN, output-changing: run the frozen ESM encoder ONCE per diffusion
+    # step (on the step's input seq_t) and reuse the weighted embedding
+    # across the recycle passes, instead of the reference's per-pass
+    # recomputation on the recycled predicted sequence (abx.py:89-102 +
+    # encoder.py:72-105).  Cuts ESM cost 3x at num_recycle=2; quality
+    # evaluated in runs/esm_reuse_eval (see docs/ESM.md).
+    esm_reuse_recycles: bool = False
 
 
 class Sampler:
@@ -161,6 +168,18 @@ class Sampler:
             efn = self.esm_fn
             if efn is not None and esm_params is not None:
                 efn = functools.partial(self.esm_fn, esm_params)
+
+            if c.esm_reuse_recycles and efn is not None:
+                # One ESM pass per diffusion step: weighted embedding of the
+                # step's INPUT seq_t, shared by all recycle passes via
+                # batch['esm_weighted'] (seqformer consumes it in place of
+                # calling esm_fn).  Opt-in; see SamplerConfig.
+                lw = model.apply(params, method='esm_layer_weights')
+                ab = batch['seq_t'][:, :model.antibody_len].astype(jnp.int32)
+                batch = dict(batch)
+                batch['esm_weighted'] = efn(ab, batch['heavy_len'],
+                                            batch['light_len'], lw)
+                efn = None
 
             def single(mb, compute_loss, pass_idx):
                 del pass_idx  # deterministic inference: no dropout RNG
@@ -358,7 +377,7 @@ class Sampler:
         sig = (f'{c.mode}|{c.num_t}|{c.min_t}|{c.generate_area}|'
                f'{c.opt_step}|{c.collect_trajectory}|{c.noise_scale}|'
                f'{c.center}|{self.model.dtype}|'
-               f'{self.esm_fn is not None}|{shapes}')
+               f'{self.esm_fn is not None}|{c.esm_reuse_recycles}|{shapes}')
         return hashlib.sha1(sig.encode()).hexdigest()[:16]
 
     def _aot_call(self, params, feats, key, noise):

@@ -285,6 +285,106 @@ class TestSamplerWithESM:
         assert np.all(np.isfinite(np.asarray(out['atom14'])))
 
 
+class TestESMReuseRecycles:
+    """Opt-in esm_reuse_recycles: one ESM pass per diffusion step, reused
+    across recycle passes (SamplerConfig.esm_reuse_recycles)."""
+
+    def _setup(self, num_recycle):
+        from abx_tpu.config import tiny_model_config
+        from abx_tpu.data.features import (FeatureBuilder,
+                                           make_diffuser_features)
+        from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+        from abx_tpu.models.esm import AntibodyESM, stack_layer_params
+        from abx_tpu.models.network import ScoreNetwork
+
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+            cfg.model.num_recycle = num_recycle
+        diffuser = JointDiffuser(
+            JointConfig.from_dict(cfg.diffuser.to_dict()))
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        l = l_ab + l_ag
+        rng = np.random.RandomState(3)
+        anchor = np.zeros((1, l_ab), np.int32)
+        anchor[:, 10] = 5
+        anchor[:, 20] = 5
+        feats = {
+            'seq': rng.randint(0, 20, (1, l)).astype(np.int32),
+            'mask': np.ones((1, l), np.float32),
+            'atom14_gt_positions': (5.0 * rng.randn(1, l, 14, 3)).astype(
+                np.float32),
+            'atom14_gt_exists': np.ones((1, l, 14), np.float32),
+            'cdr_def': np.zeros((1, l), np.int32),
+            'chain_id': np.zeros((1, l), np.int32),
+            'residx': np.tile(np.arange(l, dtype=np.int32), (1, 1)),
+            'anchor_flag': anchor,
+            'heavy_len': np.asarray([30], np.int32),
+            'light_len': np.asarray([15], np.int32),
+        }
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        tok = build_esm_tokens(jnp.asarray(feats['seq'][:, :l_ab]),
+                               jnp.asarray(feats['heavy_len']),
+                               jnp.asarray(feats['light_len']))
+        esm_params = stack_layer_params(
+            esm_model.init(jax.random.PRNGKey(1), tok), esm_cfg.num_layers)
+        esm_fn = AntibodyESM(esm_cfg, l_ab, dtype=jnp.float32,
+                             scan_layers=True)
+        model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
+        init_batch = FeatureBuilder()(
+            {k: jnp.asarray(v) for k, v in feats.items()})
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(
+            jax.random.PRNGKey(0), init_batch,
+            esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
+        return cfg, diffuser, model, params, esm_fn, esm_params, feats
+
+    def _sample(self, setup, reuse, counter=None):
+        from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+        cfg, diffuser, model, params, esm_fn, esm_params, feats = setup
+        fn = esm_fn
+        if counter is not None:
+            def fn(ep, *a, **kw):
+                counter[0] += 1
+                return esm_fn(ep, *a, **kw)
+        sampler = Sampler(model, diffuser, cfg.model,
+                          SamplerConfig(num_t=2, mode='design',
+                                        esm_reuse_recycles=reuse),
+                          esm_fn=fn, esm_params=esm_params)
+        return sampler.sample(params, feats, jax.random.PRNGKey(0))
+
+    def test_no_recycles_reuse_is_identity(self):
+        """With num_recycle=0 every pass sees the step's input seq_t, so
+        hoisting the ESM forward is exact: outputs match bitwise."""
+        setup = self._setup(num_recycle=0)
+        out_off = self._sample(setup, reuse=False)
+        out_on = self._sample(setup, reuse=True)
+        np.testing.assert_array_equal(np.asarray(out_off['atom14']),
+                                      np.asarray(out_on['atom14']))
+        np.testing.assert_array_equal(np.asarray(out_off['seq']),
+                                      np.asarray(out_on['seq']))
+
+    def test_one_esm_trace_per_step(self):
+        """Trace-time ESM call count inside the scanned step: the default
+        path embeds ESM twice in the program (fori-loop recycle body + final
+        pass); reuse embeds it once."""
+        setup = self._setup(num_recycle=2)
+        c_off, c_on = [0], [0]
+        out_off = self._sample(setup, reuse=False, counter=c_off)
+        out_on = self._sample(setup, reuse=True, counter=c_on)
+        assert c_off[0] == 2 and c_on[0] == 1
+        assert np.all(np.isfinite(np.asarray(out_on['atom14'])))
+        # Output-changing by design (recycle passes no longer see the
+        # recycled predicted sequence through ESM).
+        assert not np.array_equal(np.asarray(out_off['atom14']),
+                                  np.asarray(out_on['atom14']))
+
+
 class TestTrainerWithESM:
     def test_esm_conditioned_train_step(self):
         """Frozen-ESM conditioning through the training step (the

@@ -12,6 +12,13 @@ protocol, /root/reference/abx/model/abx.py:89-102), ESM off on both sides
 torch->flax converter, identical complex (6ct7_H_L_S), identical number of
 reverse-diffusion steps.
 
+Timing asymmetry (conservative, biases AGAINST abx_tpu): the timed jax
+path is `sampler.sample`, whose jitted program INCLUDES feature building
+and noisy-state initialisation, while the torch side receives a prebuilt
+batch and is timed on the sampling loop alone.  Per-step figures divide
+by (num_t + 1) because both loops run one extra model call — the
+self-conditioning prime step (/root/reference/inference.py:209-211).
+
 Usage:  JAX_PLATFORMS=cpu python tools/bench_cpu_head_to_head.py [--num_t 6]
 
 Prints one JSON line:
@@ -42,7 +49,9 @@ def main():
                          'released protocol; both sides run the same value, '
                          'and cost is linear in it)')
     ap.add_argument('--num_recycle', type=int, default=2)
-    ap.add_argument('--reps', type=int, default=1)
+    ap.add_argument('--reps', type=int, default=3,
+                    help='timed repetitions per side; the MEDIAN is reported '
+                         '(this is the measured anchor in BASELINE.md)')
     args = ap.parse_args()
 
     from tests.test_parity_network import _install_stubs, _to_torch_batch
@@ -113,23 +122,33 @@ def main():
     state, static, _static_acts, _dmask, _k = sampler._init(params, feats,
                                                             key)
 
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
     # ---- time abx_tpu (jax CPU), compile excluded -----------------------
     out = sampler.sample(params, feats, key)           # compile + run
     jax.block_until_ready(out)
-    t0 = time.time()
+    ours_times = []
     for i in range(args.reps):
+        t0 = time.perf_counter()
         out = sampler.sample(params, feats, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
-    ours_s = (time.time() - t0) / args.reps
+        jax.block_until_ready(out)
+        ours_times.append(time.perf_counter() - t0)
+    ours_s = _median(ours_times)
 
     # ---- time the reference loop (torch CPU) ----------------------------
     import importlib
     inference = importlib.import_module('inference')
 
+    # abx_tpu-only hoisted features (static_*) never exist in the reference
+    # batch; passing them through would inflate the torch side's per-rep
+    # clone + sample_fn deepcopy with ~100 MB of dead tensors.
     torch_static = _to_torch_batch(
         {k: v for k, v in static.items()
-         if not hasattr(v, 'rot') and k not in ('rigidgroups_gt_frames',
-                                                'rigidgroups_alt_gt_frames')},
+         if not hasattr(v, 'rot') and not k.startswith('static_')
+         and k not in ('rigidgroups_gt_frames', 'rigidgroups_alt_gt_frames')},
         model.antibody_len)
     torch_static['rigids_t'] = torch.tensor(np.asarray(state['rigids_t']),
                                             dtype=torch.float32)
@@ -149,15 +168,17 @@ def main():
                  for k, v in torch_static.items()},
                 ref_conf, ref_diffuser, ref_model, _Args(),
                 num_t=2, min_t=0.01, center=True, self_condition=True)
-            t0 = time.time()
+            ref_times = []
             for _ in range(args.reps):
+                t0 = time.perf_counter()
                 inference.sample_fn(
                     {k: (v.clone() if hasattr(v, 'clone') else v)
                      for k, v in torch_static.items()},
                     ref_conf, ref_diffuser, ref_model, _Args(),
                     num_t=args.num_t, min_t=0.01, center=True,
                     self_condition=True)
-            ref_s = (time.time() - t0) / args.reps
+                ref_times.append(time.perf_counter() - t0)
+            ref_s = _median(ref_times)
     finally:
         inference.postprocess_trajectory = real_post
 
@@ -167,11 +188,16 @@ def main():
             'batch': 1, 'L': l_total, 'esm': False, 'dtype': 'f32',
             'hardware': f'cpu x{os.cpu_count()}',
             'weights': 'identical (torch->flax converter)',
+            'reps': args.reps, 'stat': 'median (perf_counter)',
+            'timing_note': 'jax side times sample() incl. in-jit feature '
+                           'build + noise init; torch side gets a prebuilt '
+                           'batch (conservative, favours the reference). '
+                           'Per-step divides by num_t+1 (self-cond prime).',
         },
         'ref_s_per_design': round(ref_s, 2),
         'ours_s_per_design': round(ours_s, 2),
-        'ref_s_per_step': round(ref_s / args.num_t, 3),
-        'ours_s_per_step': round(ours_s / args.num_t, 3),
+        'ref_s_per_step': round(ref_s / (args.num_t + 1), 3),
+        'ours_s_per_step': round(ours_s / (args.num_t + 1), 3),
         'speedup': round(ref_s / ours_s, 2),
     }))
 

@@ -37,6 +37,16 @@ def main():
     p.add_argument('--exact_elbo', action='store_true',
                    help='train the sequence loss with the exact tau-leaping '
                         'CTMC ELBO instead of the CE surrogate')
+    p.add_argument('--esm_random', action='store_true',
+                   help='condition on a frozen random-weight ESM2 encoder '
+                        '(real weights absent from this environment); '
+                        'shape via --esm_layers/--esm_dim')
+    p.add_argument('--esm_layers', type=int, default=6)
+    p.add_argument('--esm_dim', type=int, default=320)
+    p.add_argument('--eval_esm_reuse', action='store_true',
+                   help='after training, EMA-eval with esm_reuse_recycles '
+                        'ON and OFF and record both (quality study for the '
+                        'opt-in sampler flag)')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--out', type=str,
                    default=os.path.join(REPO, 'runs', 'overfit_6ct7'))
@@ -55,7 +65,10 @@ def main():
     from abx_tpu.utils import checkpoint as ckpt_lib
 
     os.makedirs(args.out, exist_ok=True)
-    rt = runner.build_runtime(None, None, tiny=args.tiny, seed=0)
+    rt = runner.build_runtime(None, None, tiny=args.tiny, seed=0,
+                              esm_random=args.esm_random,
+                              esm_layers=args.esm_layers,
+                              esm_dim=args.esm_dim)
     if args.exact_elbo:
         with rt.config.unlocked():
             rt.config.loss.diffusion_seq.config.exact_elbo = True
@@ -76,7 +89,8 @@ def main():
                     decay_steps=max(args.steps - 100, 1),
                     generate_area=args.generate_area, log_every=50,
                     ema_decay=0.999,
-                    checkpoint_every=args.steps))
+                    checkpoint_every=args.steps),
+        esm_fn=rt.esm_fn, esm_params=rt.esm_params)
     state = trainer.init_state(rt.params)
     state = trainer.fit(
         state, data_iter(), args.steps, jax.random.PRNGKey(0),
@@ -85,32 +99,39 @@ def main():
 
     # ---- EMA-eval: sample H3 designs on the training complex.
     ema = {'params': state.get('ema_params', state['params'])['params']}
-    scfg = SamplerConfig(num_t=args.num_t, mode='design',
-                         generate_area=args.generate_area)
-    sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
-                      esm_fn=rt.esm_fn, esm_params=rt.esm_params)
     sfeats = {k: np.repeat(v[None], args.num_samples, axis=0)
               for k, v in feats.items()}
-    out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
-
     gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
-    mask = np.asarray(out['diffuse_mask'][0]) > 0
     gt_seq = np.asarray(feats['seq'])
-    rows = []
-    for i in range(args.num_samples):
-        pred_ca = np.asarray(out['atom14'][i, :, 1])
-        # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
-        rmsd = float(np.sqrt(np.mean(np.sum(
-            (pred_ca[mask] - gt_ca[mask]) ** 2, -1))))
-        aar = float(np.mean(
-            np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
-        rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
-        print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
-              f'aar={aar:.3f}')
+
+    def eval_samples(esm_reuse=False):
+        scfg = SamplerConfig(num_t=args.num_t, mode='design',
+                             generate_area=args.generate_area,
+                             esm_reuse_recycles=esm_reuse)
+        sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                          esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+        out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
+        mask = np.asarray(out['diffuse_mask'][0]) > 0
+        rows = []
+        for i in range(args.num_samples):
+            pred_ca = np.asarray(out['atom14'][i, :, 1])
+            # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
+            rmsd = float(np.sqrt(np.mean(np.sum(
+                (pred_ca[mask] - gt_ca[mask]) ** 2, -1))))
+            aar = float(np.mean(
+                np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
+            rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
+            print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
+                  f'aar={aar:.3f}' + ('  [esm_reuse]' if esm_reuse else ''))
+        return rows
+
+    rows = eval_samples()
 
     result = {
         'steps': args.steps,
         'exact_elbo': args.exact_elbo,
+        'esm': ({'random_weights': True, 'layers': args.esm_layers,
+                 'dim': args.esm_dim} if args.esm_random else False),
         'generate_area': args.generate_area,
         'h3_rmsd_best': min(r['h3_rmsd'] for r in rows),
         'h3_rmsd_mean': float(np.mean([r['h3_rmsd'] for r in rows])),
@@ -119,6 +140,16 @@ def main():
         'samples': rows,
         'tiny': args.tiny,
     }
+    if args.eval_esm_reuse:
+        reuse_rows = eval_samples(esm_reuse=True)
+        result['esm_reuse'] = {
+            'h3_rmsd_best': min(r['h3_rmsd'] for r in reuse_rows),
+            'h3_rmsd_mean': float(np.mean([r['h3_rmsd']
+                                           for r in reuse_rows])),
+            'h3_aar_best': max(r['h3_aar'] for r in reuse_rows),
+            'h3_aar_mean': float(np.mean([r['h3_aar'] for r in reuse_rows])),
+            'samples': reuse_rows,
+        }
     with open(os.path.join(args.out, 'result.json'), 'w') as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != 'samples'}))
