@@ -41,6 +41,10 @@ def main():
                    help='OPT-IN, output-changing: one ESM pass per diffusion '
                         'step, reused across recycle passes (~3x less ESM '
                         'compute; quality eval in docs/ESM.md)')
+    p.add_argument('--esm_refresh_every', type=int, default=1,
+                   help='OPT-IN, output-changing, needs --esm_reuse_recycles:'
+                        ' refresh the cached ESM embedding every k steps '
+                        '(further ~k x less ESM compute; docs/ESM.md)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
@@ -87,7 +91,8 @@ def main():
         generate_area=args.generate_area, num_t=args.num_t,
         opt_steps=args.optimize_steps, seed=args.seed,
         batch_samples=args.batch_samples, resume=args.resume,
-        aot_dir=args.aot_dir, esm_reuse_recycles=args.esm_reuse_recycles)
+        aot_dir=args.aot_dir, esm_reuse_recycles=args.esm_reuse_recycles,
+        esm_refresh_every=args.esm_refresh_every)
 
 
 if __name__ == '__main__':

@@ -87,6 +87,12 @@ class SamplerConfig:
     # encoder.py:72-105).  Cuts ESM cost 3x at num_recycle=2; quality
     # evaluated in runs/esm_reuse_eval (see docs/ESM.md).
     esm_reuse_recycles: bool = False
+    # OPT-IN, output-changing, requires esm_reuse_recycles: refresh the
+    # cached ESM embedding only every k diffusion steps (the cache rides in
+    # the scan carry; off-refresh steps skip the ESM forward entirely via
+    # lax.cond).  Cuts ESM cost a further k x; quality-evaluate per k
+    # before use (docs/ESM.md).
+    esm_refresh_every: int = 1
 
 
 class Sampler:
@@ -164,21 +170,31 @@ class Sampler:
 
         num_recycle = self.model_config.num_recycle
 
-        def forward(params, esm_params, batch, static_acts):
+        use_esm_reuse = c.esm_reuse_recycles and self.esm_fn is not None
+        carry_esm_cache = use_esm_reuse and c.esm_refresh_every > 1
+
+        def esm_weighted_of(params, esm_params, seq_t, static):
+            """Weighted ESM embedding of the CURRENT noisy sequence — the
+            hoisted form the opt-in esm_reuse_recycles mode shares across
+            recycle passes (and, with esm_refresh_every>1, across steps)."""
+            efn = self.esm_fn
+            if esm_params is not None:
+                efn = functools.partial(self.esm_fn, esm_params)
+            lw = model.apply(params, method='esm_layer_weights')
+            ab = seq_t[:, :model.antibody_len].astype(jnp.int32)
+            return efn(ab, static['heavy_len'], static['light_len'], lw)
+
+        def forward(params, esm_params, batch, static_acts,
+                    esm_weighted=None):
             efn = self.esm_fn
             if efn is not None and esm_params is not None:
                 efn = functools.partial(self.esm_fn, esm_params)
-
-            if c.esm_reuse_recycles and efn is not None:
-                # One ESM pass per diffusion step: weighted embedding of the
-                # step's INPUT seq_t, shared by all recycle passes via
-                # batch['esm_weighted'] (seqformer consumes it in place of
-                # calling esm_fn).  Opt-in; see SamplerConfig.
-                lw = model.apply(params, method='esm_layer_weights')
-                ab = batch['seq_t'][:, :model.antibody_len].astype(jnp.int32)
+            if esm_weighted is not None:
+                # Pre-computed weighted embedding shared by all recycle
+                # passes via batch['esm_weighted'] (seqformer consumes it
+                # in place of calling esm_fn).  Opt-in; see SamplerConfig.
                 batch = dict(batch)
-                batch['esm_weighted'] = efn(ab, batch['heavy_len'],
-                                            batch['light_len'], lw)
+                batch['esm_weighted'] = esm_weighted
                 efn = None
 
             def single(mb, compute_loss, pass_idx):
@@ -235,13 +251,29 @@ class Sampler:
                 return set_t_feats(mb, t)
 
             def step(carry, xs):
-                # 4th xs element: per-step injected noise dict (empty in
+                # Last xs element: per-step injected noise dict (empty in
                 # production; filled by the shared-noise parity harness).
-                t, t_model, prime, step_noise = xs
+                t, t_model, prime, refresh, step_noise = xs
                 state, key = carry
                 key, k_rev = jax.random.split(key)
                 mb = model_batch(state, t_model)
-                out = forward(params, esm_params, mb, static_acts)
+                esm_w = None
+                if use_esm_reuse:
+                    if carry_esm_cache:
+                        # Refresh the cached embedding every k-th step;
+                        # off-refresh steps skip the ESM forward (lax.cond
+                        # executes one branch at runtime).
+                        esm_w = jax.lax.cond(
+                            refresh > 0,
+                            lambda s: esm_weighted_of(params, esm_params,
+                                                      s, static),
+                            lambda s: state['esm_cache'],
+                            state['seq_t'])
+                    else:
+                        esm_w = esm_weighted_of(params, esm_params,
+                                                state['seq_t'], static)
+                out = forward(params, esm_params, mb, static_acts,
+                              esm_weighted=esm_w)
                 folding = out['heads']['folding']
                 seq_head = out['heads']['sequence_module']
 
@@ -271,6 +303,8 @@ class Sampler:
 
                 new_state = {'rigids_t': rigids_next, 'seq_t': seq_next,
                              **prev}
+                if carry_esm_cache:
+                    new_state['esm_cache'] = esm_w
 
                 plddt = out['heads']['predicted_lddt']['pLDDT']
                 plddt_mean = jnp.sum(plddt * diffuse_mask, axis=1) / (
@@ -285,14 +319,28 @@ class Sampler:
 
             return step
 
+        def add_esm_cache(params, esm_params, state, static):
+            """Seed the scan-carried ESM cache (zeros — the grid's first
+            step always refreshes, so the seed is never consumed; shapes
+            come from eval_shape, no FLOPs)."""
+            if not carry_esm_cache:
+                return state
+            spec = jax.eval_shape(esm_weighted_of, params, esm_params,
+                                  state['seq_t'], static)
+            state = dict(state)
+            state['esm_cache'] = jnp.zeros(spec.shape, spec.dtype)
+            return state
+
         def run(params, esm_params, feats, key, noise):
             state, static, static_acts, diffuse_mask, k_scan = init(
                 params, feats, key)
-            ts, ts_model, is_prime = self._step_grids()
+            state = add_esm_cache(params, esm_params, state, static)
+            ts, ts_model, is_prime, refresh = self._step_grids()
             step = make_step(params, esm_params, static, static_acts,
                              diffuse_mask)
             (final_state, _), steps_out = jax.lax.scan(
-                step, (state, k_scan), (ts, ts_model, is_prime, noise))
+                step, (state, k_scan), (ts, ts_model, is_prime, refresh,
+                                        noise))
             if c.self_conditioning and self.reverse_steps.shape[0] > 0:
                 # Drop the prime step from collected outputs.
                 steps_out = jax.tree.map(lambda x: x[1:], steps_out)
@@ -320,12 +368,16 @@ class Sampler:
 
         self._init = jax.jit(init)
         self._run_chunk = jax.jit(run_chunk)
+        self._add_esm_cache = add_esm_cache
         return run
 
     def _step_grids(self):
-        """(ts, ts_model, is_prime): the reverse grid with the
+        """(ts, ts_model, is_prime, refresh): the reverse grid with the
         self-conditioning prime step folded in as a leading flagged step
-        (inference.py:209-211) — one trunk trace in the whole program."""
+        (inference.py:209-211) — one trunk trace in the whole program.
+        `refresh` flags the steps whose cached ESM embedding is recomputed
+        (every esm_refresh_every-th grid position; all-ones at the default
+        k=1, where no cache is carried)."""
         c = self.config
         if c.self_conditioning and self.reverse_steps.shape[0] > 0:
             ts = jnp.concatenate([self.reverse_steps[:1],
@@ -337,7 +389,10 @@ class Sampler:
             ts = self.reverse_steps
             ts_model = self.model_steps
             is_prime = jnp.zeros_like(ts)
-        return ts, ts_model, is_prime
+        k = max(int(c.esm_refresh_every), 1)
+        idx = np.arange(int(ts.shape[0]))
+        refresh = jnp.asarray((idx % k == 0).astype(np.float32))
+        return ts, ts_model, is_prime, refresh
 
     def sample(self, params, feats: Dict[str, jnp.ndarray], key,
                noise: Optional[Dict[str, jnp.ndarray]] = None
@@ -377,7 +432,8 @@ class Sampler:
         sig = (f'{c.mode}|{c.num_t}|{c.min_t}|{c.generate_area}|'
                f'{c.opt_step}|{c.collect_trajectory}|{c.noise_scale}|'
                f'{c.center}|{self.model.dtype}|'
-               f'{self.esm_fn is not None}|{c.esm_reuse_recycles}|{shapes}')
+               f'{self.esm_fn is not None}|{c.esm_reuse_recycles}|'
+               f'{c.esm_refresh_every}|{shapes}')
         return hashlib.sha1(sig.encode()).hexdigest()[:16]
 
     def _aot_call(self, params, feats, key, noise):
@@ -425,7 +481,8 @@ class Sampler:
         c = self.config
         state, static, static_acts, diffuse_mask, k_scan = self._init(
             params, feats, key)
-        ts, ts_model, is_prime = self._step_grids()
+        state = self._add_esm_cache(params, self.esm_params, state, static)
+        ts, ts_model, is_prime, refresh = self._step_grids()
         n = int(ts.shape[0])
         traj_path = (state_path + '.traj') if state_path else None
 
@@ -446,7 +503,8 @@ class Sampler:
         pos = start
         while pos < n:
             end = min(pos + chunk_steps, n)
-            xs = (ts[pos:end], ts_model[pos:end], is_prime[pos:end], {})
+            xs = (ts[pos:end], ts_model[pos:end], is_prime[pos:end],
+                  refresh[pos:end], {})
             state, k_scan, steps_out = self._run_chunk(
                 params, self.esm_params, static, static_acts, diffuse_mask,
                 state, k_scan, xs)

@@ -344,7 +344,8 @@ class TestESMReuseRecycles:
             esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
         return cfg, diffuser, model, params, esm_fn, esm_params, feats
 
-    def _sample(self, setup, reuse, counter=None):
+    def _sample(self, setup, reuse, counter=None, refresh_every=1,
+                num_t=2, resumable=None):
         from abx_tpu.sampling.sampler import Sampler, SamplerConfig
         cfg, diffuser, model, params, esm_fn, esm_params, feats = setup
         fn = esm_fn
@@ -353,9 +354,14 @@ class TestESMReuseRecycles:
                 counter[0] += 1
                 return esm_fn(ep, *a, **kw)
         sampler = Sampler(model, diffuser, cfg.model,
-                          SamplerConfig(num_t=2, mode='design',
-                                        esm_reuse_recycles=reuse),
+                          SamplerConfig(num_t=num_t, mode='design',
+                                        esm_reuse_recycles=reuse,
+                                        esm_refresh_every=refresh_every),
                           esm_fn=fn, esm_params=esm_params)
+        if resumable is not None:
+            return sampler.sample_resumable(params, feats,
+                                            jax.random.PRNGKey(0),
+                                            chunk_steps=resumable)
         return sampler.sample(params, feats, jax.random.PRNGKey(0))
 
     def test_no_recycles_reuse_is_identity(self):
@@ -383,6 +389,36 @@ class TestESMReuseRecycles:
         # recycled predicted sequence through ESM).
         assert not np.array_equal(np.asarray(out_off['atom14']),
                                   np.asarray(out_on['atom14']))
+
+    def test_refresh_every_runs_and_differs(self):
+        """esm_refresh_every=2: the cached embedding rides the scan carry
+        and is recomputed only on refresh steps — finite output, differs
+        from per-step recomputation, and the ESM forward is embedded once
+        (inside the lax.cond refresh branch)."""
+        setup = self._setup(num_recycle=1)
+        c1, c2 = [0], [0]
+        out_k1 = self._sample(setup, reuse=True, counter=c1, num_t=4)
+        out_k2 = self._sample(setup, reuse=True, counter=c2, num_t=4,
+                              refresh_every=2)
+        # k=1: one in-scan trace.  k=2: one in-scan trace (the cond's
+        # refresh branch) plus one ABSTRACT eval_shape trace seeding the
+        # carried cache (zero device FLOPs — jax.eval_shape).
+        assert c1[0] == 1 and c2[0] == 2
+        assert np.all(np.isfinite(np.asarray(out_k2['atom14'])))
+        assert not np.array_equal(np.asarray(out_k1['atom14']),
+                                  np.asarray(out_k2['atom14']))
+
+    def test_refresh_cache_survives_chunked_resume(self):
+        """sample_resumable carries the ESM cache across chunk boundaries:
+        a chunked run matches the single-scan run bitwise."""
+        setup = self._setup(num_recycle=1)
+        want = self._sample(setup, reuse=True, num_t=4, refresh_every=3)
+        got = self._sample(setup, reuse=True, num_t=4, refresh_every=3,
+                           resumable=2)
+        np.testing.assert_array_equal(np.asarray(want['atom14']),
+                                      np.asarray(got['atom14']))
+        np.testing.assert_array_equal(np.asarray(want['seq']),
+                                      np.asarray(got['seq']))
 
 
 class TestTrainerWithESM:

@@ -293,12 +293,12 @@ class TestResumableSampling:
         # Simulate a crash: run chunks manually until the state file exists,
         # then resume from it.
         state_path = str(tmp_path / 'sampler_state.npz')
-        ts, ts_model, is_prime = sampler._step_grids()
+        ts, ts_model, is_prime, refresh = sampler._step_grids()
         state, static, static_acts, dmask, k_scan = sampler._init(
             params, feats, key)
         state, k_scan, _ = sampler._run_chunk(
             params, sampler.esm_params, static, static_acts, dmask, state,
-            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], refresh[:3], {}))
         host = {k: np.asarray(v) for k, v in state.items()}
         host['__key__'] = np.asarray(k_scan)
         host['__chunk_pos__'] = np.asarray(3)
@@ -360,13 +360,13 @@ class TestResumableSampling:
 
         # Crash sim: one chunk, persist state (bf16 carries), resume.
         state_path = str(tmp_path / 'bf16_state.npz')
-        ts, ts_model, is_prime = sampler._step_grids()
+        ts, ts_model, is_prime, refresh = sampler._step_grids()
         state, static, static_acts, dmask, k_scan = sampler._init(
             params, feats, key)
         assert state['prev_pair'].dtype == jnp.bfloat16
         state, k_scan, _ = sampler._run_chunk(
             params, sampler.esm_params, static, static_acts, dmask, state,
-            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], refresh[:3], {}))
         host = {k: np.asarray(v) for k, v in state.items()}
         assert host['prev_pair'].dtype == ml_dtypes.bfloat16
         host['__key__'] = np.asarray(k_scan)
@@ -398,12 +398,12 @@ class TestResumableSampling:
         # Crash sim via the sampler's own persistence: first chunk, then
         # save state + trajectory sidecar the way sample_resumable does.
         state_path = str(tmp_path / 'traj_state.npz')
-        ts, ts_model, is_prime = sampler._step_grids()
+        ts, ts_model, is_prime, refresh = sampler._step_grids()
         state, static, static_acts, dmask, k_scan = sampler._init(
             params, feats, key)
         state, k_scan, steps_out = sampler._run_chunk(
             params, sampler.esm_params, static, static_acts, dmask, state,
-            k_scan, (ts[:3], ts_model[:3], is_prime[:3], {}))
+            k_scan, (ts[:3], ts_model[:3], is_prime[:3], refresh[:3], {}))
         host = {k: np.asarray(v) for k, v in state.items()}
         host['__key__'] = np.asarray(k_scan)
         host['__chunk_pos__'] = np.asarray(3)

@@ -63,10 +63,13 @@ def main():
     import numpy as np
     import torch
     import jax
+    # The axon site layer pins JAX_PLATFORMS and IGNORES env overrides;
+    # jax.config (before any jax op) is the reliable way to force CPU.
+    jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     assert jax.default_backend() == 'cpu', (
-        'run with JAX_PLATFORMS=cpu — the whole point is same-hardware')
+        'must run on CPU — the whole point is same-hardware')
     torch.manual_seed(0)
 
     # ---- reference side: full released config, ESM off ------------------

@@ -47,6 +47,12 @@ def main():
                    help='after training, EMA-eval with esm_reuse_recycles '
                         'ON and OFF and record both (quality study for the '
                         'opt-in sampler flag)')
+    p.add_argument('--eval_esm_refresh', type=int, nargs='*', default=[],
+                   help='additionally EMA-eval esm_refresh_every at these '
+                        'k values (each implies esm_reuse_recycles)')
+    p.add_argument('--eval_only', action='store_true',
+                   help='skip training; load <out>/params.msgpack (the EMA '
+                        'weights of a previous run) and just run the evals')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--out', type=str,
                    default=os.path.join(REPO, 'runs', 'overfit_6ct7'))
@@ -83,36 +89,43 @@ def main():
         while True:
             yield dict(batch)
 
-    trainer = Trainer(
-        rt.model, rt.diffuser, rt.config.model, rt.config.loss,
-        TrainConfig(learning_rate=args.lr, warmup_steps=100,
-                    decay_steps=max(args.steps - 100, 1),
-                    generate_area=args.generate_area, log_every=50,
-                    ema_decay=0.999,
-                    checkpoint_every=args.steps),
-        esm_fn=rt.esm_fn, esm_params=rt.esm_params)
-    state = trainer.init_state(rt.params)
-    state = trainer.fit(
-        state, data_iter(), args.steps, jax.random.PRNGKey(0),
-        checkpoint_path=os.path.join(args.out, 'params.msgpack'),
-        metrics_path=os.path.join(args.out, 'metrics.csv'))
+    if args.eval_only:
+        # params.msgpack holds the EMA weights of the prior run (_save).
+        ema = ckpt_lib.load_params(os.path.join(args.out, 'params.msgpack'))
+    else:
+        trainer = Trainer(
+            rt.model, rt.diffuser, rt.config.model, rt.config.loss,
+            TrainConfig(learning_rate=args.lr, warmup_steps=100,
+                        decay_steps=max(args.steps - 100, 1),
+                        generate_area=args.generate_area, log_every=50,
+                        ema_decay=0.999,
+                        checkpoint_every=args.steps),
+            esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+        state = trainer.init_state(rt.params)
+        state = trainer.fit(
+            state, data_iter(), args.steps, jax.random.PRNGKey(0),
+            checkpoint_path=os.path.join(args.out, 'params.msgpack'),
+            metrics_path=os.path.join(args.out, 'metrics.csv'))
 
-    # ---- EMA-eval: sample H3 designs on the training complex.
-    ema = {'params': state.get('ema_params', state['params'])['params']}
+        # ---- EMA-eval: sample H3 designs on the training complex.
+        ema = {'params': state.get('ema_params', state['params'])['params']}
     sfeats = {k: np.repeat(v[None], args.num_samples, axis=0)
               for k, v in feats.items()}
     gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
     gt_seq = np.asarray(feats['seq'])
 
-    def eval_samples(esm_reuse=False):
+    def eval_samples(esm_reuse=False, refresh_every=1):
         scfg = SamplerConfig(num_t=args.num_t, mode='design',
                              generate_area=args.generate_area,
-                             esm_reuse_recycles=esm_reuse)
+                             esm_reuse_recycles=esm_reuse,
+                             esm_refresh_every=refresh_every)
         sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                           esm_fn=rt.esm_fn, esm_params=rt.esm_params)
         out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
         mask = np.asarray(out['diffuse_mask'][0]) > 0
         rows = []
+        tag = ('  [esm_reuse]' if esm_reuse else '') + (
+            f'  [refresh_k={refresh_every}]' if refresh_every > 1 else '')
         for i in range(args.num_samples):
             pred_ca = np.asarray(out['atom14'][i, :, 1])
             # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
@@ -122,8 +135,17 @@ def main():
                 np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
             rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
             print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
-                  f'aar={aar:.3f}' + ('  [esm_reuse]' if esm_reuse else ''))
+                  f'aar={aar:.3f}' + tag)
         return rows
+
+    def summarize(rows):
+        return {
+            'h3_rmsd_best': min(r['h3_rmsd'] for r in rows),
+            'h3_rmsd_mean': float(np.mean([r['h3_rmsd'] for r in rows])),
+            'h3_aar_best': max(r['h3_aar'] for r in rows),
+            'h3_aar_mean': float(np.mean([r['h3_aar'] for r in rows])),
+            'samples': rows,
+        }
 
     rows = eval_samples()
 
@@ -140,16 +162,20 @@ def main():
         'samples': rows,
         'tiny': args.tiny,
     }
+    if args.eval_only:
+        # Merge onto the training run's record instead of clobbering it.
+        prior_path = os.path.join(args.out, 'result.json')
+        if os.path.exists(prior_path):
+            with open(prior_path) as f:
+                prior = json.load(f)
+            prior.update({k: v for k, v in result.items()
+                          if k not in prior or k.startswith('h3_')})
+            result = prior
     if args.eval_esm_reuse:
-        reuse_rows = eval_samples(esm_reuse=True)
-        result['esm_reuse'] = {
-            'h3_rmsd_best': min(r['h3_rmsd'] for r in reuse_rows),
-            'h3_rmsd_mean': float(np.mean([r['h3_rmsd']
-                                           for r in reuse_rows])),
-            'h3_aar_best': max(r['h3_aar'] for r in reuse_rows),
-            'h3_aar_mean': float(np.mean([r['h3_aar'] for r in reuse_rows])),
-            'samples': reuse_rows,
-        }
+        result['esm_reuse'] = summarize(eval_samples(esm_reuse=True))
+    for k in args.eval_esm_refresh:
+        result[f'esm_refresh_k{k}'] = summarize(
+            eval_samples(esm_reuse=True, refresh_every=k))
     with open(os.path.join(args.out, 'result.json'), 'w') as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != 'samples'}))
