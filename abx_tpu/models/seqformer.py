@@ -487,9 +487,20 @@ class TriangleMultiplication(nn.Module):
         inp = tuple(getattr(c, 'inp_kernels', ()) or ())
         if (residual and c.gating and act.ndim == 4 and not inp
                 and jax.default_backend() == 'tpu' and use_fused_trimult()):
+            from abx_tpu.ops.registry import use_trimult_c_major
             from abx_tpu.ops.tri_mult import tri_mult_post, tri_mult_pre
+            from abx_tpu.ops.triangle import triangle_multiply_c_major
             w = jnp.concatenate([k for k, _ in branches], axis=-1)
             wb = jnp.concatenate([b for _, b in branches])
+            if use_trimult_c_major() and not use_pallas_triangle():
+                # Channel-major data path: no XLA transpose copies around
+                # the contraction GEMM (ops/registry.use_trimult_c_major).
+                left, right, fg = tri_mult_pre(act, scale, ln_bias, w, wb,
+                                               mask, c_major=True)
+                out = triangle_multiply_c_major(left, right,
+                                                per_row=per_row)
+                return tri_mult_post(out, fscale, fbias, wout, bout, fg,
+                                     act, y_c_major=True)
             left, right, fg = tri_mult_pre(act, scale, ln_bias, w, wb, mask)
             out = triangle_multiply(left, right, per_row=per_row,
                                     use_pallas=use_pallas_triangle())

@@ -55,6 +55,25 @@ def use_fused_trimult() -> bool:
     return os.environ.get('ABX_FUSED_TRIMULT', '1') == '1'
 
 
+def use_trimult_c_major() -> bool:
+    """Channel-major triangle-multiplication data path: tri_mult_pre emits
+    (B, nc, R, L) operands (one in-VMEM transpose per element inside the
+    kernel), the contraction einsum runs in XLA's native C-batched GEMM
+    layout with no transpose copies, and tri_mult_post consumes the GEMM's
+    (B, nc, I, J) output directly.  Targeted the ~7 ms/step of two-hop HBM
+    layout copies around the contraction (round-4 profile, B=4, L=288).
+
+    Default OFF: measured NET NEGATIVE on v5e (tools/probe_cmajor.py,
+    B=4, L=288, C=192, nc=128, bf16).  Mosaic's in-VMEM 3D transpose costs
+    +2.6 ms/call on the pre kernel (x6 calls/step) and VMEM-OOMs the post
+    kernel at production shape, while the c-major contraction GEMM itself
+    is layout-neutral (4.9-5.1 ms either orientation).  Same conclusion as
+    the round-3 channel-blocked pallas contraction: on TPU the HBM
+    transpose copies are cheaper than any in-kernel relayout.  Kept
+    (tested, interpret-mode) as a documented negative result."""
+    return os.environ.get('ABX_TRIMULT_C_MAJOR', '0') == '1'
+
+
 def use_fused_esm_attention() -> bool:
     """Per-(batch, head) VMEM-resident ESM attention kernel (TPU
     inference).  Default OFF: measured 13.05 vs 13.83 steps/s ESM-on

@@ -36,7 +36,8 @@ def _ln(x, scale, bias, eps):
 
 
 def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
-                left_ref, right_ref, fg_ref, *, eps: float, nc: int):
+                left_ref, right_ref, fg_ref, *, eps: float, nc: int,
+                c_major: bool):
     x = x_ref[0]                                   # (RB, L, C)
     ln = _ln(x, s_ref[0], b_ref[0], eps).astype(x.dtype)
     dims = (((2,), (0,)), ((), ()))
@@ -51,15 +52,24 @@ def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
     pm = (rows * mcol_ref[0])[..., None]           # (RB, L, 1)
     left = y[..., :nc] * jax.nn.sigmoid(y[..., 2 * nc:3 * nc]) * pm
     right = y[..., nc:2 * nc] * jax.nn.sigmoid(y[..., 3 * nc:4 * nc]) * pm
-    left_ref[0] = left.astype(left_ref.dtype)
-    right_ref[0] = right.astype(right_ref.dtype)
+    if c_major:
+        # Emit (nc, RB, L): the layout the C-batched contraction GEMM
+        # consumes directly — one in-VMEM transpose per element here
+        # replaces XLA's two-hop HBM transpose copies (~7 ms/step).
+        left_ref[0] = jnp.transpose(left, (2, 0, 1)).astype(left_ref.dtype)
+        right_ref[0] = jnp.transpose(right, (2, 0, 1)).astype(
+            right_ref.dtype)
+    else:
+        left_ref[0] = left.astype(left_ref.dtype)
+        right_ref[0] = right.astype(right_ref.dtype)
     fg_ref[0] = y[..., 4 * nc:].astype(fg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('row_block', 'eps',
-                                             'interpret'))
+                                             'c_major', 'interpret'))
 def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
-                 eps: float = 1e-5, interpret: bool = False):
+                 eps: float = 1e-5, c_major: bool = False,
+                 interpret: bool = False):
     """LN -> fused [left|right|lgate|rgate|fgate] projection -> gating/mask.
 
     Args:
@@ -67,8 +77,12 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
         scale, bias: (C,) LayerNorm params.
         w: (C, 4*nc + C) fused kernel, wb: matching bias.
         mask: (B, L) sequence mask.
-    Returns: (left, right) each (B, R, L, nc) gated+masked, and
-        fg (B, R, L, C) PRE-sigmoid final-gate activations.
+        c_major: emit left/right as (B, nc, R, L) — the exact operand
+            layout of the C-batched triangle-contraction GEMM, so XLA
+            emits no transpose copies around the contraction.
+    Returns: (left, right) each (B, R, L, nc) gated+masked — or
+        (B, nc, R, L) when `c_major` — and fg (B, R, L, C) PRE-sigmoid
+        final-gate activations.
     """
     b, r, l, c = x.shape
     nc = (w.shape[-1] - c) // 4
@@ -89,8 +103,16 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
     grid = (b, rp // row_block)
     x_spec = pl.BlockSpec((1, row_block, l, c), lambda bb, rr: (bb, rr, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
+    if c_major:
+        lr_spec = pl.BlockSpec((1, nc, row_block, l),
+                               lambda bb, rr: (bb, 0, rr, 0))
+        lr_shape = jax.ShapeDtypeStruct((b, nc, rp, l), dt)
+    else:
+        lr_spec = pl.BlockSpec((1, row_block, l, nc),
+                               lambda bb, rr: (bb, rr, 0, 0))
+        lr_shape = jax.ShapeDtypeStruct((b, rp, l, nc), dt)
     out = pl.pallas_call(
-        functools.partial(_pre_kernel, eps=eps, nc=nc),
+        functools.partial(_pre_kernel, eps=eps, nc=nc, c_major=c_major),
         grid=grid,
         in_specs=[
             x_spec, const((1, c)), const((1, c)),
@@ -99,27 +121,28 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
             pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, row_block, l, nc),
-                         lambda bb, rr: (bb, rr, 0, 0)),
-            pl.BlockSpec((1, row_block, l, nc),
-                         lambda bb, rr: (bb, rr, 0, 0)),
+            lr_spec, lr_spec,
             pl.BlockSpec((1, row_block, l, c),
                          lambda bb, rr: (bb, rr, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, rp, l, nc), dt),
-            jax.ShapeDtypeStruct((b, rp, l, nc), dt),
+            lr_shape, lr_shape,
             jax.ShapeDtypeStruct((b, rp, l, c), dt),
         ],
         interpret=interpret,
     )(x, row(scale), row(bias), w.astype(dt), row(wb), mrow, mcol)
     left, right, fg = out
+    if c_major:
+        return left[:, :, :r], right[:, :, :r], fg[:, :r]
     return left[:, :r], right[:, :r], fg[:, :r]
 
 
 def _post_kernel(y_ref, s_ref, b_ref, w_ref, wb_ref, fg_ref, res_ref,
-                 out_ref, *, eps: float):
-    y = y_ref[0]                                   # (RB, L, nc)
+                 out_ref, *, eps: float, y_c_major: bool):
+    if y_c_major:
+        y = jnp.transpose(y_ref[0], (1, 2, 0))     # (nc, RB, L)->(RB, L, nc)
+    else:
+        y = y_ref[0]                               # (RB, L, nc)
     ln = _ln(y, s_ref[0], b_ref[0], eps).astype(y.dtype)
     dims = (((2,), (0,)), ((), ()))
     o = jax.lax.dot_general(ln, w_ref[...], dims,
@@ -130,36 +153,51 @@ def _post_kernel(y_ref, s_ref, b_ref, w_ref, wb_ref, fg_ref, res_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('row_block', 'eps',
-                                             'interpret'))
+                                             'y_c_major', 'interpret'))
 def tri_mult_post(y, scale, bias, w, wb, fg, res, row_block=None,
-                  eps: float = 1e-5, interpret: bool = False):
+                  eps: float = 1e-5, y_c_major: bool = False,
+                  interpret: bool = False):
     """LN -> Linear(nc, C) -> * sigmoid(fg) -> + res, one VMEM pass.
 
     Args:
-        y: (B, R, L, nc) triangle contraction output.
+        y: (B, R, L, nc) triangle contraction output — or (B, nc, R, L)
+            when `y_c_major` (the contraction GEMM's native output layout;
+            transposed back in-VMEM, so XLA emits no copy).
         w: (nc, C), wb: (C,).
         fg: (B, R, L, C) pre-sigmoid final gate.  res: (B, R, L, C).
     Returns: (B, R, L, C), dtype of res.
     """
-    b, r, l, nc = y.shape
+    if y_c_major:
+        b, nc, r, l = y.shape
+    else:
+        b, r, l, nc = y.shape
     c = w.shape[-1]
     if row_block is None:
         row_block = 8 if y.dtype == jnp.bfloat16 else 4
     rpad = (-r) % row_block
     if rpad:
         pad4 = [(0, 0), (0, rpad), (0, 0), (0, 0)]
-        y, fg, res = (jnp.pad(t, pad4) for t in (y, fg, res))
-    rp = y.shape[1]
+        if y_c_major:
+            y = jnp.pad(y, [(0, 0), (0, 0), (0, rpad), (0, 0)])
+        else:
+            y = jnp.pad(y, pad4)
+        fg, res = (jnp.pad(t, pad4) for t in (fg, res))
+    rp = r + rpad
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
 
     grid = (b, rp // row_block)
     spec = lambda ch: pl.BlockSpec((1, row_block, l, ch),
                                    lambda bb, rr: (bb, rr, 0, 0))
+    if y_c_major:
+        y_spec = pl.BlockSpec((1, nc, row_block, l),
+                              lambda bb, rr: (bb, 0, rr, 0))
+    else:
+        y_spec = spec(nc)
     const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
     out = pl.pallas_call(
-        functools.partial(_post_kernel, eps=eps),
+        functools.partial(_post_kernel, eps=eps, y_c_major=y_c_major),
         grid=grid,
-        in_specs=[spec(nc), const((1, nc)), const((1, nc)),
+        in_specs=[y_spec, const((1, nc)), const((1, nc)),
                   const((nc, c)), const((1, c)), spec(c), spec(c)],
         out_specs=spec(c),
         out_shape=jax.ShapeDtypeStruct((b, rp, l, c), res.dtype),

@@ -147,6 +147,22 @@ def triangle_multiply_einsum(left, right, per_row: bool = True):
     return jnp.einsum('bkic,bkjc->bijc', left, right)
 
 
+def triangle_multiply_c_major(left, right, per_row: bool = True):
+    """Channel-major contraction: operands/result carry C at axis 1.
+
+    With (B, C, R, L) operands — the layout `tri_mult_pre(c_major=True)`
+    emits — the C-batched GEMM is already in XLA's native batched-matmul
+    form, so no transpose copies are inserted (the row-major einsum above
+    costs ~7 ms/step of two-hop HBM layout copies at B=4, L=288, round-4
+    profile).  Output (B, C, I, J) feeds `tri_mult_post(y_c_major=True)`.
+    """
+    if per_row:
+        # rows are i/j, cols k: out[c,i,j] = sum_k L[c,i,k] R[c,j,k]
+        return jnp.einsum('bcik,bcjk->bcij', left, right)
+    # rows are k, cols i/j: out[c,i,j] = sum_k L[c,k,i] R[c,k,j]
+    return jnp.einsum('bcki,bckj->bcij', left, right)
+
+
 def triangle_multiply(left, right, per_row: bool = True,
                       use_pallas: bool = False, interpret: bool = False):
     """Dispatch: pallas kernel on TPU when enabled, einsum otherwise."""

@@ -156,6 +156,55 @@ class TestTriMultKernels:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_c_major_path_matches_row_major(self):
+        """pre(c_major) -> c-major contraction -> post(y_c_major) gives the
+        same result as the row-major path, both orientations — including
+        row padding (r=14 with row_block=4)."""
+        from abx_tpu.ops.tri_mult import (tri_mult_post,
+                                          tri_mult_post_reference,
+                                          tri_mult_pre,
+                                          tri_mult_pre_reference)
+        from abx_tpu.ops.triangle import (triangle_multiply_c_major,
+                                          triangle_multiply_einsum)
+        rng = np.random.RandomState(8)
+        b, l, c, nc = 1, 14, 24, 8
+        x = jnp.asarray(rng.randn(b, l, l, c), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(c, 4 * nc + c), jnp.float32)
+        wb = jnp.asarray(0.1 * rng.randn(4 * nc + c), jnp.float32)
+        fscale = jnp.asarray(1.0 + 0.1 * rng.randn(nc), jnp.float32)
+        fbias = jnp.asarray(0.1 * rng.randn(nc), jnp.float32)
+        wout = jnp.asarray(0.1 * rng.randn(nc, c), jnp.float32)
+        bout = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -2:].set(0)
+
+        lw, rw, fgw = tri_mult_pre_reference(x, scale, bias, w, wb, mask)
+        lc, rc, fgc = tri_mult_pre(x, scale, bias, w, wb, mask,
+                                   row_block=4, c_major=True,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(lc),
+                                   np.asarray(lw).transpose(0, 3, 1, 2),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(rc),
+                                   np.asarray(rw).transpose(0, 3, 1, 2),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fgc), np.asarray(fgw),
+                                   rtol=2e-5, atol=2e-5)
+        for per_row in (True, False):
+            yw = triangle_multiply_einsum(lw, rw, per_row=per_row)
+            yc = triangle_multiply_c_major(lc, rc, per_row=per_row)
+            np.testing.assert_allclose(
+                np.asarray(yc), np.asarray(yw).transpose(0, 3, 1, 2),
+                rtol=2e-4, atol=2e-4)
+            want = tri_mult_post_reference(yw, fscale, fbias, wout, bout,
+                                           fgw, x)
+            got = tri_mult_post(yc, fscale, fbias, wout, bout, fgc, x,
+                                row_block=4, y_c_major=True,
+                                interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_module_residual_path_matches_delta_path(self):
         """residual=True (CPU functional) == act + delta."""
         import ml_collections
