@@ -93,7 +93,7 @@ def _analytic_flops_per_step(esm: bool, batch: int, l: int = 288,
 
 
 def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
-                  esm_reuse: bool = False):
+                  esm_reuse: bool = False, esm_refresh: int = 1):
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
@@ -117,7 +117,8 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
     feats = {k: np.repeat(v[None], batch, axis=0) for k, v in feats.items()}
 
     scfg = SamplerConfig(num_t=num_t, mode='design', generate_area='H3',
-                         esm_reuse_recycles=esm_reuse)
+                         esm_reuse_recycles=esm_reuse,
+                         esm_refresh_every=esm_refresh)
     sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                       esm_fn=rt.esm_fn, esm_params=rt.esm_params)
 
@@ -133,7 +134,8 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
     # memory_stats).  FLOPs are analytic: XLA's cost_analysis counts scan
     # bodies once (see _analytic_flops_per_step).
     flops = _analytic_flops_per_step(
-        esm, batch, esm_passes=(1 if esm_reuse else 3)) * num_t
+        esm, batch,
+        esm_passes=(1.0 / esm_refresh if esm_reuse else 3)) * num_t
     mem = None
     try:
         lowered = sampler._run.lower(
@@ -252,6 +254,14 @@ def main():
                 sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
             detail['output_changing_opt_in'] = True
             results['esm_reuse'] = detail
+            # Deepest opt-in rung: cross-step ESM cache, refresh every 8
+            # steps (docs/ESM.md quality sweep) — also never the headline.
+            sph, detail = _bench_config(True, num_t, batch, bf16,
+                                        esm_reuse=True, esm_refresh=8)
+            detail['vs_baseline'] = round(
+                sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
+            detail['output_changing_opt_in'] = True
+            results['esm_reuse_refresh8'] = detail
 
     # Headline: the reference-equivalent (ESM-on) workload when it ran.
     head_key = 'esm' if 'esm' in results else 'no_esm'
