@@ -48,6 +48,11 @@ def main():
                    help='OPT-IN, output-changing, needs --esm_reuse_recycles:'
                         ' refresh the cached ESM embedding every k steps '
                         '(further ~k x less ESM compute; docs/ESM.md)')
+    p.add_argument('--seq_corrector_steps', type=int, default=0,
+                   help='OPT-IN, output-changing: k Gibbs-corrector jumps '
+                        'on the sequence track after each predictor step '
+                        '(repairs tau-leaping error at reduced --num_t; '
+                        'docs/SAMPLING.md)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 trunk compute')
     p.add_argument('--platform', type=str, default=None,
@@ -78,7 +83,8 @@ def main():
         opt_steps=args.optimize_steps, seed=args.seed,
         batch_samples=args.batch_samples, resume=args.resume,
         aot_dir=args.aot_dir, esm_reuse_recycles=args.esm_reuse_recycles,
-        esm_refresh_every=args.esm_refresh_every)
+        esm_refresh_every=args.esm_refresh_every,
+        seq_corrector_steps=args.seq_corrector_steps)
 
 
 if __name__ == '__main__':

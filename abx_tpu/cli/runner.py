@@ -244,7 +244,8 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
                  seed: int = 42, batch_samples: Optional[int] = None,
                  resume: bool = False, aot_dir: Optional[str] = None,
                  esm_reuse_recycles: bool = False,
-                 esm_refresh_every: int = 1):
+                 esm_refresh_every: int = 1,
+                 seq_corrector_steps: int = 0):
     """Main sampling driver.
 
     For throughput, up to `batch_samples` independent samples of one complex
@@ -268,7 +269,8 @@ def run_sampling(runtime: Runtime, output_dir: str, mode: str,
             opt_step=opt_step, generate_area=generate_area,
             collect_trajectory=(mode_name == 'trajectory'),
             esm_reuse_recycles=esm_reuse_recycles,
-            esm_refresh_every=esm_refresh_every)
+            esm_refresh_every=esm_refresh_every,
+            seq_corrector_steps=seq_corrector_steps)
         sampler = Sampler(runtime.model, runtime.diffuser, cfg.model, scfg,
                           esm_fn=runtime.esm_fn,
                           esm_params=runtime.esm_params)

@@ -120,19 +120,13 @@ class DiscreteDiffuser:
             return x_tilde, qt0, rate, x_t
         return x_tilde, qt0, rate
 
-    def reverse(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9,
-                u: Optional[jnp.ndarray] = None):
-        """Tau-leaping reverse jump step (reference :130-190).
+    def reverse_rates(self, x_t, logits_t, t, eps_ratio: float = 1e-9):
+        """Model-implied reverse jump rates R̂_t(x_t -> s), (B, D, S).
 
-        Args:
-            x_t: (B, D) int states.
-            logits_t: (B, D, S) model logits for x_0.
-            t: scalar or (B,) time.
-            dt: scalar step.
-            u: optional (B, D, S) uniforms: Poisson jump counts are then
-                drawn by inverse CDF from `u` instead of from `key`
-                (shared-noise parity harness).
-        """
+        R̂_t(x, s) = R(s, x) * sum_{x0} p(x0 | x_t) q_{t|0}(s | x0) /
+        q_{t|0}(x | x0) — the tauLDR rate the tau-leaping `reverse` step
+        leaps with (reference discrete_diffuser.py:130-190).  Diagonal
+        zeroed."""
         batch, length = x_t.shape
         s = self.num_states
         t_vec = jnp.broadcast_to(jnp.asarray(t), (batch,)).astype(jnp.float32)
@@ -153,8 +147,69 @@ class DiscreteDiffuser:
         inner = jnp.einsum('bds,bsk->bdk', p0t / qt0_denom, qt0)
         reverse_rates = forward_rates * inner             # (B, D, S)
         onehot_xt = jax.nn.one_hot(x_t, s)
-        reverse_rates = reverse_rates * (1.0 - onehot_xt)
+        return reverse_rates * (1.0 - onehot_xt)
 
+    def corrector_rates(self, x_t, logits_t, t, eps_ratio: float = 1e-9):
+        """Gibbs-corrector jump rates at FIXED time t: forward + reverse.
+
+        The CTMC with generator R_t + R̂_t is stationary w.r.t. the noising
+        marginal q_t when the model posterior is exact (Campbell et al.
+        2022, predictor-corrector for discrete diffusion; tested as a
+        left-nullvector identity in TestGibbsCorrector).  Extra corrector
+        jumps at fixed t therefore pull the sampled marginal back toward
+        q_t, repairing tau-leaping discretisation error — the role the
+        Langevin corrector plays for the continuous tracks.  The uniform
+        rate matrix is symmetric, so the forward rates FROM x_t equal the
+        `reverse_rates` prefactor rows; kept as an explicit gather so a
+        non-uniform rate matrix would stay correct."""
+        rev = self.reverse_rates(x_t, logits_t, t, eps_ratio=eps_ratio)
+        batch, length = x_t.shape
+        s = self.num_states
+        t_vec = jnp.broadcast_to(jnp.asarray(t), (batch,)).astype(jnp.float32)
+        rate = self.rate(t_vec)                           # (B, S, S)
+        x_i = jnp.clip(x_t, 0, s - 1).astype(jnp.int32)
+        # fwd[b, d, s] = rate[b, x_t[b, d], s] (rates OUT of x_t).
+        fwd = jax.vmap(lambda r, idx: r[idx])(rate, x_i)  # (B, D, S)
+        fwd = fwd * (1.0 - jax.nn.one_hot(x_i, s))
+        return jnp.maximum(rev + fwd, 0.0)
+
+    def corrector(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9,
+                  u: Optional[jnp.ndarray] = None):
+        """One tau-leaping Gibbs-corrector step at fixed time t.
+
+        Same leap mechanics as `reverse` (Poisson jump counts, net
+        displacement, clip) but over `corrector_rates`, so repeated
+        applications equilibrate toward q_t instead of advancing time.
+        `dt` is the corrector leap size (the sampler scales the predictor
+        dt by `corrector_scale`)."""
+        s = self.num_states
+        x_i = jnp.clip(x_t, 0, s - 1).astype(jnp.int32)
+        rates = self.corrector_rates(x_i, logits_t, t, eps_ratio=eps_ratio)
+        diffs = jnp.arange(s)[None, None, :] - x_i[:, :, None]
+        if u is None:
+            jump_nums = jax.random.poisson(key, rates * dt)
+        else:
+            jump_nums = poisson_counts_from_uniform(rates * dt, u)
+        overall_jump = jnp.sum(jump_nums * diffs, axis=-1)
+        return jnp.clip(x_i + overall_jump, 0, s - 1).astype(jnp.int32)
+
+    def reverse(self, key, x_t, logits_t, t, dt, eps_ratio: float = 1e-9,
+                u: Optional[jnp.ndarray] = None):
+        """Tau-leaping reverse jump step (reference :130-190).
+
+        Args:
+            x_t: (B, D) int states.
+            logits_t: (B, D, S) model logits for x_0.
+            t: scalar or (B,) time.
+            dt: scalar step.
+            u: optional (B, D, S) uniforms: Poisson jump counts are then
+                drawn by inverse CDF from `u` instead of from `key`
+                (shared-noise parity harness).
+        """
+        s = self.num_states
+        x_t = jnp.clip(x_t, 0, s - 1).astype(jnp.int32)
+        reverse_rates = self.reverse_rates(x_t, logits_t, t,
+                                           eps_ratio=eps_ratio)
         diffs = jnp.arange(s)[None, None, :] - x_t[:, :, None]
         if u is None:
             jump_nums = jax.random.poisson(key, reverse_rates * dt)

@@ -93,6 +93,18 @@ class SamplerConfig:
     # lax.cond).  Cuts ESM cost a further k x; quality-evaluate per k
     # before use (docs/ESM.md).
     esm_refresh_every: int = 1
+    # OPT-IN, output-changing: k Gibbs-corrector jumps on the SEQUENCE
+    # track after each predictor step (Campbell et al. 2022
+    # predictor-corrector; DiscreteDiffuser.corrector).  The corrector
+    # CTMC (forward + reverse rates at the post-step time) is stationary
+    # w.r.t. the noising marginal, so extra jumps repair tau-leaping
+    # discretisation error — useful at reduced num_t.  Reuses the step's
+    # logits (no extra trunk passes; the score-reuse approximation of the
+    # Gibbs-corrector literature, PAPERS.md).  The reference loop has no
+    # corrector, so this is never the parity/headline path.
+    seq_corrector_steps: int = 0
+    # Corrector leap size as a fraction of the predictor dt.
+    corrector_scale: float = 1.0
 
 
 class Sampler:
@@ -289,6 +301,27 @@ class Sampler:
                     noise_scale=c.noise_scale,
                     noise=step_noise if step_noise else None)
 
+                if c.seq_corrector_steps > 0 \
+                        and diffuser.config.diffuse_seq:
+                    # Gibbs-corrector jumps at the post-step time, reusing
+                    # this step's logits (see SamplerConfig).  Fixed sites
+                    # stay fixed via the same mask mix as the predictor.
+                    key, k_corr = jax.random.split(key)
+                    t_next = jnp.full((b_loc,),
+                                      jnp.maximum(t - self.dt, c.min_t),
+                                      dtype=jnp.float32)
+
+                    def corr_body(i, seq):
+                        seq_c = diffuser.seq.corrector(
+                            jax.random.fold_in(k_corr, i), seq,
+                            seq_head['logits'], t_next,
+                            self.dt * c.corrector_scale)
+                        return (diffuse_mask * seq_c
+                                + (1 - diffuse_mask) * seq).astype(jnp.int32)
+
+                    seq_rev = jax.lax.fori_loop(
+                        0, c.seq_corrector_steps, corr_body, seq_rev)
+
                 # Final step (t <= min_t): take the model's denoised output.
                 is_last = t <= c.min_t + 1e-8
                 rigids_next = jnp.where(is_last, folding['rigids'],
@@ -433,7 +466,8 @@ class Sampler:
                f'{c.opt_step}|{c.collect_trajectory}|{c.noise_scale}|'
                f'{c.center}|{self.model.dtype}|'
                f'{self.esm_fn is not None}|{c.esm_reuse_recycles}|'
-               f'{c.esm_refresh_every}|{shapes}')
+               f'{c.esm_refresh_every}|{c.seq_corrector_steps}|'
+               f'{c.corrector_scale}|{shapes}')
         return hashlib.sha1(sig.encode()).hexdigest()[:16]
 
     def _aot_call(self, params, feats, key, noise):

@@ -93,7 +93,8 @@ def _analytic_flops_per_step(esm: bool, batch: int, l: int = 288,
 
 
 def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
-                  esm_reuse: bool = False, esm_refresh: int = 1):
+                  esm_reuse: bool = False, esm_refresh: int = 1,
+                  seq_corrector: int = 0):
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
@@ -118,7 +119,8 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
 
     scfg = SamplerConfig(num_t=num_t, mode='design', generate_area='H3',
                          esm_reuse_recycles=esm_reuse,
-                         esm_refresh_every=esm_refresh)
+                         esm_refresh_every=esm_refresh,
+                         seq_corrector_steps=seq_corrector)
     sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                       esm_fn=rt.esm_fn, esm_params=rt.esm_params)
 
@@ -262,6 +264,18 @@ def main():
                 sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
             detail['output_changing_opt_in'] = True
             results['esm_reuse_refresh8'] = detail
+            # Compounded fast recipe: quarter step count + sequence Gibbs
+            # corrector (k=2, repairs the reduced-step tau-leap error) +
+            # cross-step ESM cache — each opt-in quality-evaluated
+            # separately (docs/SAMPLING.md, docs/ESM.md); never the
+            # headline.
+            sph, detail = _bench_config(True, 25, batch, bf16,
+                                        esm_reuse=True, esm_refresh=8,
+                                        seq_corrector=2)
+            detail['vs_baseline'] = round(
+                sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
+            detail['output_changing_opt_in'] = True
+            results['fast_recipe_t25'] = detail
 
     # Headline: the reference-equivalent (ESM-on) workload when it ran.
     head_key = 'esm' if 'esm' in results else 'no_esm'

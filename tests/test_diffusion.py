@@ -188,6 +188,92 @@ class TestDiscrete:
         assert (np.asarray(x) == 7).mean() > 0.9
 
 
+class TestGibbsCorrector:
+    """DiscreteDiffuser.corrector_rates / corrector (predictor-corrector
+    for the CTMC track, Campbell et al. 2022; sampler opt-in
+    `seq_corrector_steps`)."""
+
+    def test_generator_stationary_under_exact_posterior(self):
+        """The corrector chain's generator G = R_t + R̂_t must have the
+        noising marginal q_t as a left null vector when the model posterior
+        is exact — the identity that makes extra corrector jumps at fixed t
+        equilibrate toward q_t.  Checked exactly on a single site with an
+        arbitrary x0 prior."""
+        s = 6
+        diff = DiscreteDiffuser(DiscreteConfig(rate_const=0.5, num_states=s))
+        rng = np.random.RandomState(0)
+        pi0 = rng.dirichlet(np.ones(s))
+        for t in (0.15, 0.6, 0.95):
+            qt0 = np.asarray(diff.transition(jnp.array([t]))[0])  # (x0, xt)
+            q_t = pi0 @ qt0
+            g = np.zeros((s, s))
+            for x in range(s):
+                post = pi0 * qt0[:, x] / q_t[x]        # p(x0 | x_t = x)
+                logits = jnp.log(jnp.asarray(post[None, None]) + 1e-30)
+                x_t = jnp.full((1, 1), x, dtype=jnp.int32)
+                rates = diff.corrector_rates(x_t, logits,
+                                             jnp.asarray(float(t)))
+                g[x] = np.asarray(rates[0, 0])
+                g[x, x] = -g[x].sum()
+            resid = q_t @ g
+            np.testing.assert_allclose(resid, 0.0, atol=1e-5)
+
+    def test_corrector_moves_wrong_marginal_toward_qt(self, seq_diff):
+        """Starting from exact q_t samples the corrector must keep the
+        marginal at q_t; starting from the WRONG (uniform) marginal it must
+        move it toward q_t — the property that repairs tau-leap error.
+        Single known x0=0, so the exact posterior is one-hot and q_t is the
+        transition row."""
+        key = jax.random.PRNGKey(3)
+        t = 0.3
+        n = 20000
+        qt0 = np.asarray(seq_diff.transition(jnp.array([t]))[0])
+        q_t = qt0[0]                                    # x0 = 0
+        logits = jnp.full((1, n, 20), -30.0).at[..., 0].set(30.0)
+
+        def tv(x):
+            hist = np.bincount(np.asarray(x[0]), minlength=20) / n
+            return 0.5 * np.abs(hist - q_t).sum()
+
+        # dt=0.01 is the production leap size (num_t=100); the leap bias is
+        # O(dt) (measured: TV 0.14 @ dt=0.1, 0.02 @ dt=0.01, 0.012 @ 0.005).
+        def run(x, k, steps=30, dt=0.01):
+            for i in range(steps):
+                k, sub = jax.random.split(k)
+                x = seq_diff.corrector(sub, x, logits, jnp.asarray(t),
+                                       jnp.asarray(dt))
+            return x
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        x_good = jax.random.categorical(
+            k1, jnp.log(jnp.asarray(q_t))[None, None], axis=-1,
+            shape=(1, n)).astype(jnp.int32)
+        assert tv(run(x_good, k2)) < 0.03  # stationary: stays at q_t
+
+        x_bad = jax.random.randint(k3, (1, n), 0, 20, dtype=jnp.int32)
+        tv0 = tv(x_bad)
+        tv1 = tv(run(x_bad, key))
+        assert tv1 < 0.25 * tv0, (tv0, tv1)  # corrective: moves toward q_t
+
+    def test_reverse_rates_match_reverse_step_mechanics(self, seq_diff):
+        """`reverse` leaps with exactly `reverse_rates` (refactor guard):
+        with shared uniforms the jump counts derived from reverse_rates
+        reproduce reverse()'s output bitwise."""
+        from abx_tpu.diffusion.discrete import poisson_counts_from_uniform
+        key = jax.random.PRNGKey(5)
+        b, d, s = 2, 9, 20
+        x = jax.random.randint(key, (b, d), 0, s, dtype=jnp.int32)
+        logits = jax.random.normal(jax.random.fold_in(key, 1), (b, d, s))
+        u = jax.random.uniform(jax.random.fold_in(key, 2), (b, d, s))
+        t, dt = jnp.asarray(0.4), jnp.asarray(0.05)
+        got = seq_diff.reverse(key, x, logits, t, dt, u=u)
+        rates = seq_diff.reverse_rates(x, logits, t)
+        jumps = poisson_counts_from_uniform(rates * dt, u)
+        diffs = jnp.arange(s)[None, None] - x[:, :, None]
+        want = jnp.clip(x + jnp.sum(jumps * diffs, -1), 0, s - 1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestJoint:
     def test_forward_reverse_shapes(self):
         jd = JointDiffuser(JointConfig(so3=SMALL_SO3))

@@ -90,6 +90,29 @@ class TestSampler:
         fixed = diffuse_mask == 0
         np.testing.assert_array_equal(seq[fixed], np.clip(orig[fixed], 0, 19))
 
+    def test_seq_corrector_opt_in(self, tiny_setup):
+        """seq_corrector_steps>0 (Gibbs corrector on the sequence track)
+        runs inside the jitted scan, keeps fixed sites fixed, and stays
+        deterministic given the key; the structure-track outputs remain
+        finite."""
+        cfg, diffuser, model, params, feats = tiny_setup
+        sampler = Sampler(model, diffuser, cfg.model,
+                          SamplerConfig(num_t=4, mode='design',
+                                        seq_corrector_steps=2))
+        out = sampler.sample(params, feats, jax.random.PRNGKey(0))
+        l = feats['seq'].shape[1]
+        assert out['seq'].shape == (1, l)
+        assert np.all(np.isfinite(np.asarray(out['atom14'])))
+        assert np.all((np.asarray(out['seq']) >= 0)
+                      & (np.asarray(out['seq']) <= 19))
+        fixed = np.asarray(out['diffuse_mask'])[0] == 0
+        np.testing.assert_array_equal(
+            np.asarray(out['seq'])[0][fixed],
+            np.clip(feats['seq'][0][fixed], 0, 19))
+        out2 = sampler.sample(params, feats, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(out['seq']),
+                                      np.asarray(out2['seq']))
+
     def test_optimize_mode_short_grid(self, tiny_setup):
         cfg, diffuser, model, params, feats = tiny_setup
         sampler = Sampler(model, diffuser, cfg.model,

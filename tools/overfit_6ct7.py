@@ -50,6 +50,12 @@ def main():
     p.add_argument('--eval_esm_refresh', type=int, nargs='*', default=[],
                    help='additionally EMA-eval esm_refresh_every at these '
                         'k values (each implies esm_reuse_recycles)')
+    p.add_argument('--eval_corrector', type=int, nargs='*', default=[],
+                   help='additionally EMA-eval the sequence Gibbs corrector '
+                        '(opt-in seq_corrector_steps) at these REDUCED num_t '
+                        'values, corrector off vs k=2 for each — the '
+                        'corrector claim is quality retention at fewer '
+                        'steps (docs/SAMPLING.md)')
     p.add_argument('--eval_only', action='store_true',
                    help='skip training; load <out>/params.msgpack (the EMA '
                         'weights of a previous run) and just run the evals')
@@ -114,18 +120,22 @@ def main():
     gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
     gt_seq = np.asarray(feats['seq'])
 
-    def eval_samples(esm_reuse=False, refresh_every=1):
-        scfg = SamplerConfig(num_t=args.num_t, mode='design',
+    def eval_samples(esm_reuse=False, refresh_every=1, num_t=None,
+                     corrector_steps=0):
+        scfg = SamplerConfig(num_t=num_t or args.num_t, mode='design',
                              generate_area=args.generate_area,
                              esm_reuse_recycles=esm_reuse,
-                             esm_refresh_every=refresh_every)
+                             esm_refresh_every=refresh_every,
+                             seq_corrector_steps=corrector_steps)
         sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                           esm_fn=rt.esm_fn, esm_params=rt.esm_params)
         out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
         mask = np.asarray(out['diffuse_mask'][0]) > 0
         rows = []
         tag = ('  [esm_reuse]' if esm_reuse else '') + (
-            f'  [refresh_k={refresh_every}]' if refresh_every > 1 else '')
+            f'  [refresh_k={refresh_every}]' if refresh_every > 1 else '') + (
+            f'  [num_t={num_t}]' if num_t else '') + (
+            f'  [corrector_k={corrector_steps}]' if corrector_steps else '')
         for i in range(args.num_samples):
             pred_ca = np.asarray(out['atom14'][i, :, 1])
             # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
@@ -176,6 +186,11 @@ def main():
     for k in args.eval_esm_refresh:
         result[f'esm_refresh_k{k}'] = summarize(
             eval_samples(esm_reuse=True, refresh_every=k))
+    for nt in args.eval_corrector:
+        result[f'corrector_t{nt}_off'] = summarize(
+            eval_samples(num_t=nt, corrector_steps=0))
+        result[f'corrector_t{nt}_k2'] = summarize(
+            eval_samples(num_t=nt, corrector_steps=2))
     with open(os.path.join(args.out, 'result.json'), 'w') as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != 'samples'}))
