@@ -142,6 +142,12 @@ def _esm_flash_attention(q, k, v, padding_mask):
 class ESMSelfAttention(nn.Module):
     config: ESM2Config
     dtype: Any = jnp.float32
+    # Tensor-parallel axis name when running inside shard_map with
+    # Megatron-sharded params (parallel/esm_tp.py): q/k/v kernels are
+    # column-sharded so this device holds h/tp heads, out_proj is
+    # row-sharded and psum'd here.  None = single-device semantics.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, x, padding_mask):
@@ -154,18 +160,22 @@ class ESMSelfAttention(nn.Module):
 
         # q/k/v read the same input: one matmul (param tree unchanged).
         from abx_tpu.models.modules import fused_dense
-        branches = [_DenseParams(d, d, name='q_proj')(),
-                    _DenseParams(d, d, name='k_proj')(),
-                    _DenseParams(d, d, name='v_proj')()]
+        d_loc = d // self.tp_size  # local projection width under tp
+        branches = [_DenseParams(d_loc, d, name='q_proj')(),
+                    _DenseParams(d_loc, d, name='k_proj')(),
+                    _DenseParams(d_loc, d, name='v_proj')()]
         q, k, v = fused_dense(x, branches, self.dtype)
         # Heads stay MINOR ((B, L, H, Dh) — a free reshape); the einsums
         # below carry the head axis so XLA folds the head split into the
         # dot_generals instead of emitting (B, L, D) transpose copies
         # (profiled 1.9 ms/step of {1,2,0} copies x 3 tensors x 36 layers
         # with the head-major form).
-        q = q.reshape(b, l, h, dh)
-        k = k.reshape(b, l, h, dh)
-        v = v.reshape(b, l, h, dh)
+        # Head count comes from the ACTUAL projection width: h under
+        # single-device params, h/tp under tensor-parallel shards.
+        h_loc = q.shape[-1] // dh
+        q = q.reshape(b, l, h_loc, dh)
+        k = k.reshape(b, l, h_loc, dh)
+        v = v.reshape(b, l, h_loc, dh)
 
         cos, sin = _rotary_sincos(l, dh, dtype=self.dtype)
         q = _apply_rotary(q, cos, sin)
@@ -190,8 +200,16 @@ class ESMSelfAttention(nn.Module):
             weights = jax.nn.softmax(logits.astype(jnp.float32) + neg,
                                      axis=-1)
             out = jnp.einsum('bhqk,bkhd->bqhd', weights.astype(self.dtype), v)
-        out = out.reshape(b, l, d)
-        return nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
+        out = out.reshape(b, l, h_loc * dh)
+        # out_proj as an explicit matmul (param tree identical to nn.Dense)
+        # so the bias is added AFTER the tensor-parallel reduction — under
+        # tp the row-sharded partial products sum over tp_axis and the
+        # replicated bias must be applied exactly once.
+        ow, ob = _DenseParams(d, d_loc, name='out_proj')()
+        y = jnp.dot(out, ow.astype(self.dtype))
+        if self.tp_axis is not None:
+            y = jax.lax.psum(y, self.tp_axis)
+        return y + ob.astype(self.dtype)
 
 
 def _esm_layer_norm(x, name, mod):
@@ -214,20 +232,25 @@ def _esm_layer_norm(x, name, mod):
 class ESMLayer(nn.Module):
     config: ESM2Config
     dtype: Any = jnp.float32
+    tp_axis: Optional[str] = None  # see ESMSelfAttention
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, x, padding_mask):
         c = self.config
         residual = x
         y = _esm_layer_norm(x, 'self_attn_layer_norm', self)
-        y = ESMSelfAttention(c, dtype=self.dtype, name='self_attn')(
+        y = ESMSelfAttention(c, dtype=self.dtype, tp_axis=self.tp_axis,
+                             tp_size=self.tp_size, name='self_attn')(
             y.astype(self.dtype), padding_mask)
         x = residual + y
 
         residual = x
         y = _esm_layer_norm(x, 'final_layer_norm', self)
-        y = nn.Dense(4 * c.embed_dim, dtype=self.dtype, name='fc1')(
-            y.astype(self.dtype))
+        # fc1 is column-sharded under tp (nn.Dense computes with whatever
+        # kernel shard it is given — each device holds (4D)/tp FFN lanes).
+        y = nn.Dense(4 * c.embed_dim // self.tp_size, dtype=self.dtype,
+                     name='fc1')(y.astype(self.dtype))
         y = jax.nn.gelu(y, approximate=False)
         # Barrier: keep the exact-GELU erf OUT of the fc2 dot's operand
         # prologue.  Fused, the VPU erf on the (B, L, 4D) tensor stalls
@@ -235,7 +258,14 @@ class ESMLayer(nn.Module):
         # GELU streams once through HBM (~0.06 ms) and the dot runs
         # clean.
         y = jax.lax.optimization_barrier(y)
-        y = nn.Dense(c.embed_dim, dtype=self.dtype, name='fc2')(y)
+        # fc2 row-sharded under tp: explicit matmul -> psum -> bias once
+        # (param tree identical to nn.Dense; see ESMSelfAttention.out_proj).
+        w2, b2 = _DenseParams(c.embed_dim, 4 * c.embed_dim // self.tp_size,
+                              name='fc2')()
+        y = jnp.dot(y, w2.astype(self.dtype))
+        if self.tp_axis is not None:
+            y = jax.lax.psum(y, self.tp_axis)
+        y = y + b2.astype(self.dtype)
         return residual + y
 
 
@@ -251,12 +281,14 @@ class ESMLayerStep(nn.Module):
     config: ESM2Config
     dtype: Any = jnp.float32
     collect: bool = False
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, carry, padding_mask, w):
         x, acc = carry
-        x = ESMLayer(self.config, dtype=self.dtype, name='layer')(
-            x, padding_mask)
+        x = ESMLayer(self.config, dtype=self.dtype, tp_axis=self.tp_axis,
+                     tp_size=self.tp_size, name='layer')(x, padding_mask)
         # Barrier: keep the f32 accumulator update OUT of the fc2 dot's
         # fusion.  Fused, XLA emits the fc2 matmul with an f32 multi-output
         # epilogue that halves its MXU rate (profiled 0.70 vs 0.33 ms
@@ -280,6 +312,12 @@ class ESM2(nn.Module):
     config: ESM2Config
     dtype: Any = jnp.float32
     scan_layers: bool = False
+    # Megatron tensor-parallel axis when applied inside shard_map with
+    # column/row-sharded layer params (parallel/esm_tp.py); activations
+    # stay replicated over this axis, so everything outside the layers
+    # (embedding, final LN, layer-weighted sum) is unchanged.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, tokens, final_only: bool = False, layer_weights=None):
@@ -332,14 +370,16 @@ class ESM2(nn.Module):
                 in_axes=(nn.broadcast, 0),
                 length=c.num_layers)
             (x, acc), ys = scan(c, dtype=self.dtype, collect=collect,
+                                tp_axis=self.tp_axis, tp_size=self.tp_size,
                                 name='layers')((x, acc), padding_mask, ws)
             if collect:
                 per_layer = ys
         else:
             reprs = [] if collect else None
             for i in range(c.num_layers):
-                x = ESMLayer(c, dtype=self.dtype, name=f'layer_{i}')(
-                    x, padding_mask)
+                x = ESMLayer(c, dtype=self.dtype, tp_axis=self.tp_axis,
+                             tp_size=self.tp_size,
+                             name=f'layer_{i}')(x, padding_mask)
                 if weighted:
                     acc = acc + ws[i] * x.astype(jnp.float32)
                 if reprs is not None:

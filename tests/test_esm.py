@@ -503,3 +503,152 @@ class TestTrainerWithESM:
                    if not np.allclose(np.asarray(before[k]),
                                       np.asarray(after[k]))]
         assert changed, 'no esm-related trunk param updated'
+
+
+class TestTensorParallelESM:
+    """Megatron-sharded frozen ESM over a ('data', 'model') mesh
+    (parallel/esm_tp.py): column/row-sharded layer params via shard_map,
+    exact agreement with the single-device module."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        from abx_tpu.models.esm import AntibodyESM
+        from abx_tpu.parallel.esm_tp import (TensorParallelAntibodyESM,
+                                             mesh2d, shard_esm_params)
+        cfg = ESM2Config(num_layers=2, embed_dim=64, attention_heads=4)
+        l_ab = 24
+        ref = AntibodyESM(cfg, l_ab, dtype=jnp.float32, scan_layers=True)
+        rng = np.random.RandomState(0)
+        aa = jnp.asarray(rng.randint(0, 20, (4, l_ab)), jnp.int32)
+        hl = jnp.array([12, 10, 14, 12], jnp.int32)
+        ll = jnp.array([8, 9, 6, 8], jnp.int32)
+        params = ref.module.init(jax.random.PRNGKey(0),
+                                 build_esm_tokens(aa, hl, ll))
+        w = jax.nn.softmax(
+            jnp.asarray(rng.randn(cfg.num_layers + 1), jnp.float32))
+        mesh = mesh2d(2, 4)
+        tp = TensorParallelAntibodyESM(mesh, cfg, l_ab, dtype=jnp.float32)
+        return dict(cfg=cfg, l_ab=l_ab, ref=ref, aa=aa, hl=hl, ll=ll,
+                    params=params, w=w, mesh=mesh, tp=tp,
+                    sharded=shard_esm_params(mesh, params))
+
+    def test_param_specs(self, setup):
+        """Column-parallel leaves shard their last axis, row-parallel
+        kernels their input axis; everything else is replicated."""
+        from jax.sharding import PartitionSpec as P
+        from abx_tpu.parallel.esm_tp import esm_param_specs
+        specs = esm_param_specs(setup['params'])
+        layer = specs['params']['layers']['layer']
+        attn = layer['self_attn']
+        assert attn['q_proj']['kernel'] == P(None, None, 'model')
+        assert attn['q_proj']['bias'] == P(None, 'model')
+        assert attn['out_proj']['kernel'] == P(None, 'model', None)
+        assert attn['out_proj']['bias'] == P()
+        assert layer['fc1']['kernel'] == P(None, None, 'model')
+        assert layer['fc2']['kernel'] == P(None, 'model', None)
+        assert layer['fc2']['bias'] == P()
+        assert layer['self_attn_layer_norm']['scale'] == P()
+        assert specs['params']['embed_tokens']['embedding'] == P()
+
+    def test_sharded_param_footprint(self, setup):
+        """Each device holds 1/tp of every column/row-sharded kernel."""
+        k = setup['sharded']['params']['layers']['layer']['fc1']['kernel']
+        shard = k.addressable_shards[0]
+        assert shard.data.shape[-1] == k.shape[-1] // 4
+
+    def test_matches_single_device(self, setup):
+        s = setup
+        out_ref = s['ref'](s['params'], s['aa'], s['hl'], s['ll'], s['w'])
+        out_tp = s['tp'](s['sharded'], s['aa'], s['hl'], s['ll'], s['w'])
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_matches_under_jit_and_replicated_input(self, setup):
+        s = setup
+        out_ref = s['ref'](s['params'], s['aa'], s['hl'], s['ll'], s['w'])
+        fn = jax.jit(lambda p, a: s['tp'](p, a, s['hl'], s['ll'], s['w']))
+        np.testing.assert_allclose(np.asarray(fn(s['sharded'], s['aa'])),
+                                   np.asarray(out_ref), rtol=1e-5, atol=1e-5)
+        # A replicated tree is resharded to the in_specs by shard_map.
+        out_rep = s['tp'](s['params'], s['aa'], s['hl'], s['ll'], s['w'])
+        np.testing.assert_allclose(np.asarray(out_rep), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sampler_end_to_end_tp(self):
+        """Full scanned sampler with the tp esm_fn over a (2, 4) mesh ==
+        the single-device esm_fn run (dp=2 batch sharding x tp=4 ESM)."""
+        from abx_tpu.config import tiny_model_config
+        from abx_tpu.data.features import (FeatureBuilder,
+                                           make_diffuser_features)
+        from abx_tpu.diffusion.joint import JointConfig, JointDiffuser
+        from abx_tpu.models.esm import AntibodyESM, stack_layer_params
+        from abx_tpu.models.network import ScoreNetwork
+        from abx_tpu.parallel import mesh as mesh_lib
+        from abx_tpu.parallel.esm_tp import (TensorParallelAntibodyESM,
+                                             mesh2d, shard_esm_params)
+        from abx_tpu.sampling.sampler import Sampler, SamplerConfig
+
+        cfg = tiny_model_config()
+        with cfg.unlocked():
+            cfg.model.embeddings_and_seqformer.esm.enabled = True
+            cfg.model.embeddings_and_seqformer.esm.num_layers = 2
+            cfg.model.embeddings_and_seqformer.esm.embed_channel = 64
+        diffuser = JointDiffuser(
+            JointConfig.from_dict(cfg.diffuser.to_dict()))
+        l_ab, l_ag = cfg.data.max_antibody_len, cfg.data.max_antigen_len
+        l = l_ab + l_ag
+        b = 2
+        rng = np.random.RandomState(1)
+        anchor = np.zeros((b, l_ab), np.int32)
+        anchor[:, 10] = 5
+        anchor[:, 20] = 5
+        feats = {
+            'seq': rng.randint(0, 20, (b, l)).astype(np.int32),
+            'mask': np.ones((b, l), np.float32),
+            'atom14_gt_positions': (5.0 * rng.randn(b, l, 14, 3)).astype(
+                np.float32),
+            'atom14_gt_exists': np.ones((b, l, 14), np.float32),
+            'cdr_def': np.zeros((b, l), np.int32),
+            'chain_id': np.zeros((b, l), np.int32),
+            'residx': np.tile(np.arange(l, dtype=np.int32), (b, 1)),
+            'anchor_flag': anchor,
+            'heavy_len': np.full((b,), 30, np.int32),
+            'light_len': np.full((b,), 15, np.int32),
+        }
+        esm_cfg = ESM2Config.tiny()
+        esm_model = ESM2(esm_cfg, dtype=jnp.float32)
+        tok = build_esm_tokens(jnp.asarray(feats['seq'][:, :l_ab]),
+                               jnp.asarray(feats['heavy_len']),
+                               jnp.asarray(feats['light_len']))
+        esm_params = stack_layer_params(
+            esm_model.init(jax.random.PRNGKey(1), tok), esm_cfg.num_layers)
+        esm_fn = AntibodyESM(esm_cfg, l_ab, dtype=jnp.float32,
+                             scan_layers=True)
+
+        model = ScoreNetwork(cfg.model, diffuser=diffuser, antibody_len=l_ab)
+        init_batch = FeatureBuilder()(
+            {k: jnp.asarray(v) for k, v in feats.items()})
+        init_batch = make_diffuser_features(
+            init_batch, diffuser=diffuser, generate_area='H3',
+            key=jax.random.PRNGKey(0), mode='design')
+        params = model.init(
+            jax.random.PRNGKey(0), init_batch,
+            esm_fn=lambda *a, **kw: esm_fn(esm_params, *a, **kw))
+
+        scfg = SamplerConfig(num_t=2, mode='design')
+        ref_out = Sampler(model, diffuser, cfg.model, scfg, esm_fn=esm_fn,
+                          esm_params=esm_params).sample(
+                              params, feats, jax.random.PRNGKey(0))
+
+        mesh = mesh2d(2, 4)
+        tp_fn = TensorParallelAntibodyESM(mesh, esm_cfg, l_ab,
+                                          dtype=jnp.float32)
+        tp_out = Sampler(model, diffuser, cfg.model, scfg, esm_fn=tp_fn,
+                         esm_params=shard_esm_params(mesh, esm_params)
+                         ).sample(
+                             mesh_lib.replicate(mesh, params),
+                             mesh_lib.shard_batch(mesh, feats),
+                             jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(tp_out['atom14']),
+                                   np.asarray(ref_out['atom14']),
+                                   rtol=2e-5, atol=2e-5)
