@@ -88,6 +88,10 @@ def main():
                    help='restore the full training state (optimizer '
                         'moments, step, EMA) from <output_dir>/'
                         'params.msgpack.train if present')
+    p.add_argument('--prefetch', type=int, default=2,
+                   help='batches built ahead by a background loader thread '
+                        '(overlaps featurization + H2D with the device '
+                        'step; 0 disables)')
     p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
@@ -138,6 +142,10 @@ def main():
     data_iter = batch_iterator(args.data_dir, names, rt.data_config,
                                args.batch_size, args.is_cluster_idx,
                                args.seed)
+    if args.prefetch > 0:
+        from abx_tpu.data.pipeline import prefetch
+        data_iter = prefetch(data_iter, size=args.prefetch,
+                             device_put_ahead=True)
     trainer.fit(state, data_iter, args.num_steps,
                 jax.random.PRNGKey(args.seed), checkpoint_path=ckpt,
                 metrics_path=os.path.join(args.output_dir, 'metrics.csv'))

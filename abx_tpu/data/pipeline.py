@@ -1,0 +1,128 @@
+"""Host-side input pipeline: background prefetch for the training loop.
+
+The reference trains with torch ``DataLoader`` worker processes (AbX ships
+no trainer, but its dataset is built for one — reference
+abx/data/dataset.py:95-132 collate path); the TPU-native equivalent is a
+bounded producer queue that overlaps host featurization (numpy) and
+host->device transfer with the device step, so the accelerator never waits
+on the Python data path.
+
+Two layers, composable around any batch iterator:
+
+  * ``prefetch(it, size)`` — a daemon thread drains ``it`` into a bounded
+    queue.  While the device runs step N, the host builds batch N+1..N+size.
+    Producer exceptions are re-raised at the consuming ``next()`` call site
+    (not swallowed in the thread).
+  * ``device_put_ahead=True`` additionally issues ``jax.device_put`` from
+    the producer thread, so the H2D copy of batch N+1 rides the DMA engine
+    while batch N computes (JAX dispatches transfers asynchronously).
+
+Threads (not processes): the expensive inner ops (np.pad/stack/einsum in
+``prepare_example``) release the GIL, and one producer is enough when
+host-time/batch < device-time/step — the common case for this model
+(ms-scale featurization vs 10s-of-ms train steps).  For host-bound corpora,
+shard the name list across more training processes (``dataset.shard_names``)
+rather than multiplying loader threads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+class _Stop:
+    """Queue sentinel: producer exhausted the underlying iterator."""
+
+
+class _Raised:
+    """Queue sentinel wrapping a producer-side exception."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class PrefetchIterator:
+    """Bounded background-thread prefetch around a batch iterator.
+
+    Preserves the wrapped iterator's order and contents exactly; only the
+    timing changes.  Iteration is single-consumer.  ``close()`` (or garbage
+    collection of the consumer) stops the producer promptly even if the
+    queue is full.
+    """
+
+    def __init__(self, it: Iterator, size: int = 2,
+                 device_put_ahead: bool = False,
+                 device: Optional[object] = None):
+        if size < 1:
+            raise ValueError(f'prefetch size must be >= 1, got {size}')
+        self._q: queue.Queue = queue.Queue(maxsize=size)
+        self._closed = threading.Event()
+        self._device = device
+        self._put_ahead = device_put_ahead
+        self._thread = threading.Thread(
+            target=self._produce, args=(it,), daemon=True,
+            name='abx-prefetch')
+        self._thread.start()
+
+    def _produce(self, it: Iterator) -> None:
+        try:
+            for item in it:
+                if self._put_ahead:
+                    item = jax.device_put(item, self._device)
+                # Bounded put with a timeout so close() can interrupt a
+                # producer blocked on a full queue.
+                while not self._closed.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._closed.is_set():
+                    return
+            self._q.put(_Stop())
+        except BaseException as e:  # re-raised on the consumer side
+            if not self._closed.is_set():
+                self._q.put(_Raised(e))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._closed.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if isinstance(item, _Stop):
+            self._closed.set()
+            raise StopIteration
+        if isinstance(item, _Raised):
+            self._closed.set()
+            raise item.exc
+        return item
+
+    def close(self) -> None:
+        self._closed.set()
+        # Drain one slot so a producer blocked on put() observes the event.
+        try:
+            self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __del__(self):  # pragma: no cover - GC timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def prefetch(it: Iterator, size: int = 2, device_put_ahead: bool = False,
+             device: Optional[object] = None) -> Iterator:
+    """Wrap ``it`` with background prefetch (``size=0`` returns ``it``)."""
+    if size <= 0:
+        return it
+    return PrefetchIterator(it, size=size, device_put_ahead=device_put_ahead,
+                            device=device)
