@@ -40,14 +40,28 @@ def parse_cluster_file(path: str) -> List[List[str]]:
 
 
 def batch_iterator(data_dir: str, names, cfg, batch_size: int,
-                   is_cluster_idx: bool, seed: int) -> Iterator:
-    """Infinite iterator of stacked static-shape batches."""
+                   is_cluster_idx: bool, seed: int,
+                   reduce_num: int = 0) -> Iterator:
+    """Infinite iterator of stacked static-shape batches.
+
+    ``reduce_num > 0`` visits only a per-epoch random subset of that many
+    clusters (reference dataset.py:107-116: reseed ``2022 + epoch``,
+    shuffle, take the first ``reduce_num``) — same deterministic
+    epoch-keyed subsampling, scoped to a local RNG instead of reseeding
+    the process-global ``random`` module.
+    """
     rng = random.Random(seed)
     clusters = names if is_cluster_idx else [[n] for n in names]
+    epoch = 0
     buffer = []
     while True:
         order = list(range(len(clusters)))
-        rng.shuffle(order)
+        if reduce_num and reduce_num > 0:
+            random.Random(2022 + epoch).shuffle(order)
+            order = order[:reduce_num]
+        else:
+            rng.shuffle(order)
+        epoch += 1
         for ci in order:
             name = rng.choice(clusters[ci])
             path = os.path.join(data_dir, f'{name}.npz')
@@ -88,6 +102,9 @@ def main():
                    help='restore the full training state (optimizer '
                         'moments, step, EMA) from <output_dir>/'
                         'params.msgpack.train if present')
+    p.add_argument('--reduce_num', type=int, default=0,
+                   help='per-epoch random subset size of clusters to visit '
+                        '(reference dataset.py reduce_num; 0 = all)')
     p.add_argument('--prefetch', type=int, default=2,
                    help='batches built ahead by a background loader thread '
                         '(overlaps featurization + H2D with the device '
@@ -141,11 +158,22 @@ def main():
                 'checkpoint to continue training exactly)')
     data_iter = batch_iterator(args.data_dir, names, rt.data_config,
                                args.batch_size, args.is_cluster_idx,
-                               args.seed)
+                               args.seed, reduce_num=args.reduce_num)
     if args.prefetch > 0:
         from abx_tpu.data.pipeline import prefetch
-        data_iter = prefetch(data_iter, size=args.prefetch,
-                             device_put_ahead=True)
+        from abx_tpu.parallel import mesh as mesh_lib
+        # Put batches ahead WITH the training sharding, so the producer's
+        # H2D copy lands each shard on its device directly (a default
+        # device_put would stage the whole batch on device 0 and re-shard
+        # every step, ADVICE r4).  Multi-host: device_put to
+        # non-addressable devices fails — fall back to host prefetch only.
+        n_dev = trainer.mesh.devices.size
+        put_ahead = (jax.process_count() == 1
+                     and args.batch_size % n_dev == 0)
+        data_iter = prefetch(
+            data_iter, size=args.prefetch, device_put_ahead=put_ahead,
+            device=(mesh_lib.batch_sharding(trainer.mesh)
+                    if put_ahead else None))
     trainer.fit(state, data_iter, args.num_steps,
                 jax.random.PRNGKey(args.seed), checkpoint_path=ckpt,
                 metrics_path=os.path.join(args.output_dir, 'metrics.csv'))

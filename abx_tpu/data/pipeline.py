@@ -68,25 +68,29 @@ class PrefetchIterator:
             name='abx-prefetch')
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put with a timeout so close() can interrupt a producer
+        blocked on a full queue (items AND sentinels — an unbounded put of
+        _Raised/_Stop could block a producer forever if the consumer died
+        without close(), ADVICE r4)."""
+        while not self._closed.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self, it: Iterator) -> None:
         try:
             for item in it:
                 if self._put_ahead:
                     item = jax.device_put(item, self._device)
-                # Bounded put with a timeout so close() can interrupt a
-                # producer blocked on a full queue.
-                while not self._closed.is_set():
-                    try:
-                        self._q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if self._closed.is_set():
+                if not self._put(item):
                     return
-            self._q.put(_Stop())
+            self._put(_Stop())
         except BaseException as e:  # re-raised on the consumer side
-            if not self._closed.is_set():
-                self._q.put(_Raised(e))
+            self._put(_Raised(e))
 
     def __iter__(self):
         return self

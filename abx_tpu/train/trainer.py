@@ -231,6 +231,13 @@ class Trainer:
                 metrics_file.close()
             if orbax_ckpt is not None:
                 orbax_ckpt.wait()
+            # Stop a prefetching iterator promptly: otherwise its producer
+            # thread keeps featurizing/device_put-ing up to `size` more
+            # batches (holding device memory) until GC, and a late producer
+            # error would be silently dropped (ADVICE r4).
+            close = getattr(data_iter, 'close', None)
+            if callable(close):
+                close()
         if checkpoint_path:
             self._save(checkpoint_path, state)
         return state

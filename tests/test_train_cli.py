@@ -65,6 +65,43 @@ def test_batch_iterator_one_member_per_cluster_per_epoch(npz_dir,
         assert len(set(epoch) & {'cplx_a', 'cplx_b'}) == 1
 
 
+def test_batch_iterator_reduce_num(npz_dir, monkeypatch):
+    """reduce_num semantics (reference dataset.py:107-116): each epoch
+    visits a deterministic epoch-keyed random subset of `reduce_num`
+    clusters — subsets differ across epochs but are reproducible."""
+    import random as pyrandom
+    loaded = []
+    real = ds.load_complex_npz
+
+    def spy(path, name):
+        loaded.append(name)
+        return real(path, name)
+
+    monkeypatch.setattr(ds, 'load_complex_npz', spy)
+    cfg = ds.DataConfig(max_antibody_len=256, max_antigen_len=32)
+    names = ['cplx_a', 'cplx_b', 'cplx_c']
+    it = batch_iterator(str(npz_dir), names, cfg, batch_size=2,
+                        is_cluster_idx=False, seed=0, reduce_num=2)
+    for _ in range(3):  # 3 epochs x 2 complexes
+        next(it)
+    assert len(loaded) == 6
+    epochs = [loaded[i:i + 2] for i in range(0, 6, 2)]
+    for epoch_idx, visited in enumerate(epochs):
+        # Exactly 2 of the 3 clusters per epoch, no repeats within epoch.
+        assert len(set(visited)) == 2
+        # Deterministic: the subset is keyed by 2022 + epoch.
+        order = list(range(3))
+        pyrandom.Random(2022 + epoch_idx).shuffle(order)
+        assert visited == [names[i] for i in order[:2]]
+    # Reproducible end-to-end: a fresh iterator visits the same sequence.
+    loaded.clear()
+    it2 = batch_iterator(str(npz_dir), names, cfg, batch_size=2,
+                         is_cluster_idx=False, seed=0, reduce_num=2)
+    for _ in range(3):
+        next(it2)
+    assert [loaded[i:i + 2] for i in range(0, 6, 2)] == epochs
+
+
 def test_batch_iterator_skips_missing_npz(npz_dir, monkeypatch):
     loaded = []
     real = ds.load_complex_npz
