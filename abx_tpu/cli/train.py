@@ -110,6 +110,12 @@ def main():
                         '(overlaps featurization + H2D with the device '
                         'step; 0 disables)')
     p.add_argument('--log_every', type=int, default=50)
+    p.add_argument('--checkpoint_every', type=int, default=1000,
+                   help='save the full train state every N steps (crash '
+                        'resumability granularity)')
+    p.add_argument('--use_orbax', action='store_true',
+                   help='periodic checkpoints via async orbax under '
+                        '<output_dir>/params.msgpack.orbax/')
     p.add_argument('--generate_area', type=str, default='cdr')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--esm_checkpoint', type=str, default=None,
@@ -142,7 +148,9 @@ def main():
                     decay_steps=args.decay_steps,
                     generate_area=args.generate_area,
                     ema_decay=args.ema_decay,
-                    log_every=args.log_every),
+                    log_every=args.log_every,
+                    checkpoint_every=args.checkpoint_every,
+                    use_orbax=args.use_orbax),
         esm_fn=rt.esm_fn, esm_params=rt.esm_params)
     ckpt = os.path.join(args.output_dir, 'params.msgpack')
     if args.resume and os.path.exists(ckpt + '.train'):

@@ -182,7 +182,15 @@ def forward_with_recycling(apply_single, batch, num_recycle: int,
         # Traced count (training samples recycle depth, reference
         # abx.py:87-91); fori_loop supports dynamic trip counts.
         carry = jax.lax.fori_loop(0, num_recycle, body, carry)
-    return apply_single(with_prev(carry), compute_loss, num_recycle)
+    out = apply_single(with_prev(carry), compute_loss, num_recycle)
+    # The seq_t the FINAL pass consumed (the last recycle pass's predicted
+    # seq_0; the input seq_t at num_recycle=0).  The reference mutates
+    # input_feats['seq_t'] in place during recycling (abx.py:96-99), and
+    # its sampler then reads the MUTATED value for the reverse transition
+    # (inference.py:231-233) — callers that reproduce the reference loop
+    # need this value alongside the outputs.
+    out['recycled_seq_t'] = carry[3]
+    return out
 
 
 class ScoreNetwork(nn.Module):
@@ -244,7 +252,11 @@ class ScoreNetwork(nn.Module):
             batch['seq_t'] = jax.lax.stop_gradient(
                 ret['heads']['sequence_module']['seq_0'])
 
-        return self.impl(batch, esm_fn=esm_fn,
-                         compute_loss=compute_loss,
-                         deterministic=deterministic,
-                         static_acts=static_acts)
+        ret = self.impl(batch, esm_fn=esm_fn,
+                        compute_loss=compute_loss,
+                        deterministic=deterministic,
+                        static_acts=static_acts)
+        # Same contract as forward_with_recycling: the seq_t the final pass
+        # consumed (reference mutates it in place, abx.py:96-99).
+        ret['recycled_seq_t'] = batch['seq_t'].astype(jnp.int32)
+        return ret

@@ -288,13 +288,20 @@ class Sampler:
                               esm_weighted=esm_w)
                 folding = out['heads']['folding']
                 seq_head = out['heads']['sequence_module']
+                # At num_recycle>0 the reference's in-place recycling leaves
+                # input_feats['seq_t'] = the last recycle pass's predicted
+                # sequence, and its reverse transition reads that MUTATED
+                # value (abx.py:96-99 + inference.py:231-233) — the tau-leap
+                # starts from the recycled sequence, not the carried noisy
+                # one.  Identical to state['seq_t'] at num_recycle=0.
+                seq_cur = out['recycled_seq_t']
 
                 prev = get_prev(mb, out, prev_pos_cfg)
 
                 b_loc = mb['seq'].shape[0]
                 t_rev = jnp.full((b_loc,), t, dtype=jnp.float32)
                 rigids_rev, seq_rev = diffuser.reverse(
-                    k_rev, state['rigids_t'], state['seq_t'],
+                    k_rev, state['rigids_t'], seq_cur,
                     folding['rot_score'], folding['trans_score'],
                     seq_head['logits'], t_rev, self.dt,
                     diffuse_mask=diffuse_mask, center=c.center,
@@ -328,10 +335,14 @@ class Sampler:
                                         rigids_rev)
                 seq_next = jnp.where(is_last, seq_head['seq_0'],
                                      seq_rev).astype(jnp.int32)
-                # Prime step: state unchanged, only prev_* updated.
+                # Prime step: rigids unchanged, prev_* updated — and seq_t
+                # picks up the recycled prediction, exactly as the
+                # reference's _self_conditioning leaves the in-place-mutated
+                # seq_t in the batch (inference.py:173-178).  seq_cur ==
+                # state['seq_t'] at num_recycle=0, where this is a no-op.
                 rigids_next = jnp.where(prime > 0, state['rigids_t'],
                                         rigids_next)
-                seq_next = jnp.where(prime > 0, state['seq_t'],
+                seq_next = jnp.where(prime > 0, seq_cur,
                                      seq_next).astype(jnp.int32)
 
                 new_state = {'rigids_t': rigids_next, 'seq_t': seq_next,

@@ -94,7 +94,7 @@ def _analytic_flops_per_step(esm: bool, batch: int, l: int = 288,
 
 def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
                   esm_reuse: bool = False, esm_refresh: int = 1,
-                  seq_corrector: int = 0):
+                  seq_corrector: int = 0, compile_detail: bool = False):
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
@@ -184,6 +184,45 @@ def _bench_config(esm: bool, num_t: int, batch: int, bf16: bool,
         detail['tflops_per_step'] = round(flops / num_t / 1e12, 3)
     if mem:
         detail.update(mem)
+    if compile_detail:
+        # VERDICT r4 item 9: disambiguate the compile-time cache states.
+        # compile_s above reflects whatever persistent-cache state the round
+        # started with; compile_warm_s re-jits the SAME program in a fresh
+        # Sampler with the persistent cache now guaranteed populated (by
+        # this process's first compile); aot_load_s deserializes a
+        # StableHLO export instead of tracing at all.  Steady run time is
+        # subtracted from both first-call measurements.
+        try:
+            s2 = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                         esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+            t0 = time.time()
+            jax.block_until_ready(
+                s2.sample(rt.params, feats, jax.random.PRNGKey(5)))
+            detail['compile_warm_s'] = round(
+                max(time.time() - t0 - elapsed, 0.0), 1)
+        except Exception as e:  # noqa: BLE001
+            detail['compile_warm_s'] = f'error: {e}'[:120]
+        try:
+            import tempfile
+            with tempfile.TemporaryDirectory() as td:
+                s3 = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                             esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+                s3.enable_aot(td)
+                t0 = time.time()
+                jax.block_until_ready(
+                    s3.sample(rt.params, feats, jax.random.PRNGKey(6)))
+                detail['aot_export_s'] = round(
+                    max(time.time() - t0 - elapsed, 0.0), 1)
+                s4 = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
+                             esm_fn=rt.esm_fn, esm_params=rt.esm_params)
+                s4.enable_aot(td)
+                t0 = time.time()
+                jax.block_until_ready(
+                    s4.sample(rt.params, feats, jax.random.PRNGKey(7)))
+                detail['aot_load_s'] = round(
+                    max(time.time() - t0 - elapsed, 0.0), 1)
+        except Exception as e:  # noqa: BLE001
+            detail['aot_load_s'] = f'error: {e}'[:120]
     # HBM high-water mark (memory-fit argument for multi-chip projections,
     # BASELINE.md); not all backends expose stats.
     try:
@@ -220,12 +259,49 @@ def _probe_device(timeout_s: int = 300) -> None:
     sys.exit(1)
 
 
+def _cold_probe(num_t: int, batch: int, bf16: bool) -> None:
+    """--cold-probe subprocess body: compile the headline (ESM-on) config
+    with NO persistent compile cache and print the first-call time.  Runs
+    in a child process BEFORE the parent opens the device (single-client
+    tunnel), so the number is a true cold trace+compile."""
+    t_import = time.time()
+    sph, detail = _bench_config(True, num_t, batch, bf16)
+    del sph
+    print(json.dumps({'compile_cold_s': detail['compile_s'],
+                      'probe_wall_s': round(time.time() - t_import, 1)}))
+
+
 def main():
+    if '--cold-probe' in sys.argv[1:]:
+        _cold_probe(int(os.environ.get('BENCH_NUM_T', 100)),
+                    int(os.environ.get('BENCH_BATCH', 4)),
+                    os.environ.get('BENCH_BF16', '1') == '1')
+        return
     if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
         _probe_device()
     num_t = int(os.environ.get('BENCH_NUM_T', 100))
     batch = int(os.environ.get('BENCH_BATCH', 4))
     bf16 = os.environ.get('BENCH_BF16', '1') == '1'
+
+    # True cold-compile number for the headline config: a child process
+    # with the persistent cache disabled, run before this process touches
+    # the device.  Gate: BENCH_COMPILE_DETAIL=0 skips all compile probes.
+    compile_detail = os.environ.get('BENCH_COMPILE_DETAIL', '1') == '1'
+    compile_cold_s = None
+    if compile_detail:
+        import subprocess
+        try:
+            env = dict(os.environ)
+            env.pop('JAX_COMPILATION_CACHE_DIR', None)
+            env['ABX_DISABLE_COMPILE_CACHE'] = '1'
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), '--cold-probe'],
+                capture_output=True, text=True, timeout=900, env=env)
+            if r.returncode == 0 and r.stdout.strip():
+                compile_cold_s = json.loads(
+                    r.stdout.strip().splitlines()[-1])['compile_cold_s']
+        except Exception:
+            pass
     # BENCH_ONLY=esm|no_esm restricts to one config (iteration/profiling).
     only = os.environ.get('BENCH_ONLY', '')
     if '--esm' in sys.argv[1:]:
@@ -242,9 +318,12 @@ def main():
         detail['vs_baseline'] = round(sph / A100_REFERENCE_SAMPLES_PER_HR, 3)
         results['no_esm'] = detail
     if only != 'no_esm':
-        sph, detail = _bench_config(True, num_t, batch, bf16)
+        sph, detail = _bench_config(True, num_t, batch, bf16,
+                                    compile_detail=compile_detail)
         detail['vs_baseline'] = round(
             sph / A100_REFERENCE_SAMPLES_PER_HR_ESM, 3)
+        if compile_cold_s is not None:
+            detail['compile_cold_s'] = compile_cold_s
         results['esm'] = detail
         def _try_rung(name: str, **kw):
             # Opt-in rungs must never cost the round its headline artifact:

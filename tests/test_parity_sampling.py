@@ -155,7 +155,7 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
                             pdb='testdata/6ct7_H_L_S.pdb',
                             heavy='H', light='L', antigen=('S',),
                             noise_scale=1.0, ab_len=224, ag_len=16,
-                            esm=False):
+                            esm=False, num_recycle=0):
     """Run both samplers under shared noise; return per-step deviations.
 
     With `opt_step`, both sides run OPTIMIZE mode (reference
@@ -210,7 +210,10 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
         esm_c['num_layers'] = ESM_NL
         esm_c['esm_embed'].update(repr_layer=list(range(ESM_NL + 1)),
                                   model_path='mini', sep_pad_num=48)
-    ref_cfg['model']['num_recycle'] = 0
+    # num_recycle=2 is the flagship protocol (config_model.json:4): each
+    # diffusion step runs 3 trunk passes with prev_* + predicted-sequence
+    # feedback (abx.py:87-102); 0 keeps the fast single-pass runs.
+    ref_cfg['model']['num_recycle'] = num_recycle
     ref_cfg['diffuser']['so3'].update(
         num_omega=200, num_sigma=100, cache_dir='/tmp/ref_igso3',
         use_cached_score=True)
@@ -232,7 +235,7 @@ def run_shared_noise_parity(num_t, seed=0, generate_area='cdr',
 
     cfg = model_config()
     with cfg.unlocked():
-        cfg.model.num_recycle = 0
+        cfg.model.num_recycle = num_recycle
         cfg.diffuser.so3.num_omega = 200
         cfg.diffuser.so3.num_sigma = 100
         cfg.diffuser.so3.cache_dir = '/tmp/igso3_test'
@@ -428,6 +431,29 @@ class TestSharedNoiseSamplingParity:
         # proj_esm_embed) — none of which the ESM-off runs touch.
         res = run_shared_noise_parity(num_t=6, generate_area='cdr',
                                       esm=True)
+        assert res['seq_equal'].all(), res['seq_equal']
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    def test_recycling_parity(self):
+        # The FLAGSHIP protocol's 3-trunk-passes-per-step path
+        # (num_recycle=2, config_model.json:4): prev_pos distogram +
+        # prev_seq/prev_pair feedback and seq_t <- seq_0 between passes
+        # (abx.py:87-102).  Every other parity run pins num_recycle=0, so
+        # this is the only cross-implementation check of get_prev wiring,
+        # pass ordering, and the recycled-sequence feedback.
+        res = run_shared_noise_parity(num_t=5, generate_area='cdr',
+                                      num_recycle=2)
+        assert res['seq_equal'].all(), res['seq_equal']
+        assert res['bb_dev'].max() <= 0.1, res['bb_dev']
+
+    def test_recycling_parity_esm(self):
+        # Recycling x ESM: the reference re-runs its string-round-trip ESM
+        # embedding on the RECYCLED predicted sequence in every pass
+        # (abx.py:89-102 + encoder.py:72-105); our side re-invokes esm_fn
+        # inside each fori_loop body on the updated int seq_t.  A
+        # stale-sequence ESM reuse bug would be invisible at num_recycle=0.
+        res = run_shared_noise_parity(num_t=4, generate_area='cdr',
+                                      esm=True, num_recycle=2)
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
 

@@ -452,10 +452,24 @@ class TestGermlineRecombinationPanel:
             parts[code] = ''.join(tmpl[i] for i in idx)
         return parts
 
-    def _recombine(self, chain, cdr3_len, rng, lead=''):
+    def _recombine(self, chain, cdr3_len, rng, lead='', fw_mut=0):
         """Germline frameworks + fresh CDR contents; returns (seq, spans)
-        with spans = {label: (start, end)} in FULL-chain coordinates."""
+        with spans = {label: (start, end)} in FULL-chain coordinates.
+        `fw_mut` applies that many somatic-hypermutation-style point
+        mutations to INTERIOR framework positions (>=3 residues away from
+        every CDR boundary, so the anchors stay germline)."""
         parts = self._germline_parts(chain)
+        if fw_mut:
+            for code in ('1', '2', '3', '4'):
+                fw = list(parts[code])
+                interior = range(3, len(fw) - 3)
+                for p in rng.choice(list(interior),
+                                    size=min(fw_mut, len(fw) - 6),
+                                    replace=False):
+                    old = fw[p]
+                    fw[p] = self.AAS[(self.AAS.index(old) + 1
+                                      + rng.randint(19)) % 20]
+                parts[code] = ''.join(fw)
         cdr1 = ''.join(self.AAS[rng.randint(20)]
                        for _ in range(len(parts['A'])))
         cdr2 = ''.join(self.AAS[rng.randint(20)]
@@ -485,20 +499,25 @@ class TestGermlineRecombinationPanel:
         return spans
 
     def _panel(self):
+        """66 sequences: 3 chain types (incl. lambda) x 11 CDR3 lengths
+        (5..30 — ultralong H3s included, VERDICT r4 #8) x {germline,
+        2-per-FW hypermutated} frameworks, some with signal peptides."""
         rng = np.random.RandomState(7)
         panel = []
         for chain in 'HKL':
-            for cdr3_len in (5, 7, 9, 11, 13, 15, 18, 21):
+            for cdr3_len in (5, 7, 9, 11, 13, 15, 18, 21, 24, 27, 30):
                 lead = ('MGWSCIILFLVATATGVHS'
                         if cdr3_len % 3 == 0 else '')
                 panel.append((chain,) + self._recombine(
                     chain, cdr3_len, rng, lead=lead))
+                panel.append((chain,) + self._recombine(
+                    chain, cdr3_len, rng, fw_mut=2))
         return panel
 
     def test_panel_spans_exact(self):
         from abx_tpu.preprocess.numbering import annotate_domain
         panel = self._panel()
-        assert len(panel) >= 24
+        assert len(panel) >= 60
         failures = []
         for chain, seq, want in panel:
             ab_chain = 'H' if chain == 'H' else 'L'
