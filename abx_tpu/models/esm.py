@@ -247,10 +247,18 @@ class ESMLayer(nn.Module):
 
         residual = x
         y = _esm_layer_norm(x, 'final_layer_norm', self)
-        # fc1 is column-sharded under tp (nn.Dense computes with whatever
-        # kernel shard it is given — each device holds (4D)/tp FFN lanes).
-        y = nn.Dense(4 * c.embed_dim // self.tp_size, dtype=self.dtype,
-                     name='fc1')(y.astype(self.dtype))
+        # fc1 is column-sharded under tp (the explicit dot computes with
+        # whatever kernel shard it is given — each device holds (4D)/tp
+        # FFN lanes).  Param tree identical to nn.Dense under 'fc1'.
+        from abx_tpu.ops import registry as _reg
+        w1, b1 = _DenseParams(4 * c.embed_dim // self.tp_size,
+                              c.embed_dim, name='fc1')()
+        w1 = w1.astype(self.dtype)
+        if _reg.esm_fc1_slice_barrier():
+            w1 = jax.lax.optimization_barrier(w1)
+        y = jnp.dot(y.astype(self.dtype), w1) + b1.astype(self.dtype)
+        if _reg.esm_gelu_barrier():
+            y = jax.lax.optimization_barrier(y)
         y = jax.nn.gelu(y, approximate=False)
         # Barrier: keep the exact-GELU erf OUT of the fc2 dot's operand
         # prologue.  Fused, the VPU erf on the (B, L, 4D) tensor stalls

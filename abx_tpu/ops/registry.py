@@ -134,3 +134,22 @@ def use_fused_pair_bias() -> bool:
     pass; the LN'd pair tensor never materialises — ~3 ms/step, round-3
     profile)."""
     return os.environ.get('ABX_FUSED_PAIR_BIAS', '1') == '1'
+
+
+def esm_gelu_barrier() -> bool:
+    """MEASURED NET-NEGATIVE, default off (round-5 A/B, B=4 num_t=20):
+    15.69 batch-steps/s vs 17.95 baseline (-12.6%).  Splitting the
+    exact-GELU erf out of the fc1 dot's epilogue fusion (fc1 profiles at
+    ~76% MXU vs ~94% for qkv/fc2) costs an extra HBM round trip of the
+    (B, 306, 10240) tensor per layer-pass (~5.4 GB/step) that outweighs
+    the epilogue penalty."""
+    return os.environ.get('ABX_ESM_GELU_BARRIER', '0') == '1'
+
+
+def esm_fc1_slice_barrier() -> bool:
+    """MEASURED NET-NEGATIVE, default off (round-5 A/B, B=4 num_t=20):
+    16.04 batch-steps/s vs 17.95 baseline (-10.6%).  Materialising the
+    scan-sliced (2560, 10240) fc1 weight before its dot adds a 52 MB
+    copy per layer-pass (~11 GB/step) that exceeds the fused-slice GEMM
+    penalty; XLA's fused form is the optimum here."""
+    return os.environ.get('ABX_ESM_FC1_SLICE_BARRIER', '0') == '1'

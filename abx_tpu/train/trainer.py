@@ -295,8 +295,16 @@ class Trainer:
         target = self.init_state(params)
         msgpack_state = None
         if os.path.exists(checkpoint_path + '.train'):
-            msgpack_state = ckpt_lib.load_params(checkpoint_path + '.train',
-                                                 target=target)
+            try:
+                msgpack_state = ckpt_lib.load_params(
+                    checkpoint_path + '.train', target=target)
+            except Exception as e:
+                # Saves are atomic now (ckpt_lib.save_params tmp+rename),
+                # but checkpoints written before that fix — or copied
+                # partially — may be truncated; fall through to orbax
+                # rather than refusing to resume.
+                logger.warning('unreadable %s.train (%s); trying orbax',
+                               checkpoint_path, e)
         orbax_state = None
         orbax_dir = checkpoint_path + '.orbax'
         if os.path.isdir(orbax_dir) and ckpt_lib.orbax_available():

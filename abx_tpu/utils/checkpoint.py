@@ -16,10 +16,22 @@ import numpy as np
 
 
 def save_params(path: str, params: Any):
+    """Atomic write: serialize to a sibling tmp file, then rename.
+
+    A crash/SIGKILL mid-write must never leave a truncated checkpoint at
+    `path` — the round-5 multi-complex dress rehearsal's kill landed inside
+    a periodic `.train` save and the truncated msgpack broke `--resume`
+    ('Unpack failed: incomplete input').  rename(2) within one directory is
+    atomic, so readers see either the old complete file or the new one.
+    """
     from flax import serialization
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, 'wb') as f:
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(params))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_params(path: str, target: Optional[Any] = None):

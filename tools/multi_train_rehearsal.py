@@ -147,6 +147,11 @@ def main():
     p.add_argument('--num_samples', type=int, default=4)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--tiny', action='store_true')
+    p.add_argument('--platform', type=str, default=None,
+                   help="'cpu' forces CPU for BOTH the training "
+                        'subprocesses and the in-process eval (the '
+                        'environment pins JAX_PLATFORMS via sitecustomize; '
+                        'env-var overrides are ignored)')
     p.add_argument('--out', type=str,
                    default=os.path.join(REPO, 'runs', 'multi_train'))
     p.add_argument('--work', type=str, default='/tmp/abx_multi_train')
@@ -182,6 +187,8 @@ def main():
     ]
     if args.tiny:
         base_cmd.append('--tiny')
+    if args.platform:
+        base_cmd.extend(['--platform', args.platform])
 
     # ---- phase 1: train, then SIGKILL mid-run ----------------------------
     ckpt_train = os.path.join(train_dir, 'params.msgpack.train')
@@ -227,6 +234,8 @@ def main():
 
     # ---- phase 3: EMA-eval on the HELD-OUT variant -----------------------
     import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     from abx_tpu.cli import runner
     from abx_tpu.data import dataset as ds
     from abx_tpu.sampling.sampler import Sampler, SamplerConfig
