@@ -182,7 +182,13 @@ def main():
             data_iter, size=args.prefetch, device_put_ahead=put_ahead,
             device=(mesh_lib.batch_sharding(trainer.mesh)
                     if put_ahead else None))
-    trainer.fit(state, data_iter, args.num_steps,
+    # --num_steps is the TOTAL step target: a resumed run finishes the
+    # remainder instead of appending num_steps more.
+    remaining = max(args.num_steps - int(state['step']), 0)
+    if remaining < args.num_steps:
+        logger.info('resuming at step %d: %d steps remain to the %d target',
+                    int(state['step']), remaining, args.num_steps)
+    trainer.fit(state, data_iter, remaining,
                 jax.random.PRNGKey(args.seed), checkpoint_path=ckpt,
                 metrics_path=os.path.join(args.output_dir, 'metrics.csv'))
 
