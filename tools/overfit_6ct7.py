@@ -121,7 +121,11 @@ def main():
 
         # ---- EMA-eval: sample H3 designs on the training complex.
         ema = {'params': state.get('ema_params', state['params'])['params']}
-    sfeats = {k: np.repeat(v[None], args.num_samples, axis=0)
+    # Sample in chunks: one B=32 f32 batch VMEM-OOMs the fused IPA
+    # attention kernel (27.4M scoped vs 22M limit); chunks of 8 keep every
+    # config inside scoped VMEM and reuse one compiled program per config.
+    eval_chunk = min(args.num_samples, 8)
+    sfeats = {k: np.repeat(v[None], eval_chunk, axis=0)
               for k, v in feats.items()}
     gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
     gt_seq = np.asarray(feats['seq'])
@@ -135,23 +139,25 @@ def main():
                              seq_corrector_steps=corrector_steps)
         sampler = Sampler(rt.model, rt.diffuser, rt.config.model, scfg,
                           esm_fn=rt.esm_fn, esm_params=rt.esm_params)
-        out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1))
-        mask = np.asarray(out['diffuse_mask'][0]) > 0
         rows = []
         tag = ('  [esm_reuse]' if esm_reuse else '') + (
             f'  [refresh_k={refresh_every}]' if refresh_every > 1 else '') + (
             f'  [num_t={num_t}]' if num_t else '') + (
             f'  [corrector_k={corrector_steps}]' if corrector_steps else '')
-        for i in range(args.num_samples):
-            pred_ca = np.asarray(out['atom14'][i, :, 1])
-            # Framework is fixed in-place -> direct (unaligned) H3 RMSD.
-            rmsd = float(np.sqrt(np.mean(np.sum(
-                (pred_ca[mask] - gt_ca[mask]) ** 2, -1))))
-            aar = float(np.mean(
-                np.asarray(out['seq'][i])[mask] == gt_seq[mask]))
-            rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
-            print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
-                  f'aar={aar:.3f}' + tag)
+        for c0 in range(0, args.num_samples, eval_chunk):
+            out = sampler.sample(ema, sfeats, jax.random.PRNGKey(1 + c0))
+            mask = np.asarray(out['diffuse_mask'][0]) > 0
+            for j in range(min(eval_chunk, args.num_samples - c0)):
+                i = c0 + j
+                pred_ca = np.asarray(out['atom14'][j, :, 1])
+                # Framework fixed in place -> direct (unaligned) RMSD.
+                rmsd = float(np.sqrt(np.mean(np.sum(
+                    (pred_ca[mask] - gt_ca[mask]) ** 2, -1))))
+                aar = float(np.mean(
+                    np.asarray(out['seq'][j])[mask] == gt_seq[mask]))
+                rows.append({'sample': i, 'h3_rmsd': rmsd, 'h3_aar': aar})
+                print(f'sample {i}: {args.generate_area} rmsd={rmsd:.3f} A  '
+                      f'aar={aar:.3f}' + tag)
         return rows
 
     def summarize(rows):
