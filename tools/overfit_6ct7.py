@@ -121,10 +121,11 @@ def main():
 
         # ---- EMA-eval: sample H3 designs on the training complex.
         ema = {'params': state.get('ema_params', state['params'])['params']}
-    # Sample in chunks: one B=32 f32 batch VMEM-OOMs the fused IPA
-    # attention kernel (27.4M scoped vs 22M limit); chunks of 8 keep every
-    # config inside scoped VMEM and reuse one compiled program per config.
-    eval_chunk = min(args.num_samples, 8)
+    # Sample in chunks: the fused IPA attention kernel's scoped VMEM grows
+    # with batch and f32 B>=8 exceeds the 16M limit (B=32: 27.4M, B=8:
+    # 17.8M); B=4 is the shape every prior f32 eval ran.  One compiled
+    # program per config, re-invoked per chunk with fresh keys.
+    eval_chunk = min(args.num_samples, 4)
     sfeats = {k: np.repeat(v[None], eval_chunk, axis=0)
               for k, v in feats.items()}
     gt_ca = np.asarray(feats['atom14_gt_positions'][:, 1])   # (L, 3)
