@@ -23,14 +23,21 @@ simultaneously — a (num_steps, ...) leading axis that shards over the mesh
 chips instead of being serial in num_t.  The sequential reference loop
 (/root/reference/inference.py:180-273) has no analogue.
 
-Cost model — when to use: one sweep costs num_steps step-evaluations, so
-total work is sweeps_used x the sequential work.  On D chips a sweep is
-~num_steps/D sequential-step-times, so wall-clock speedup ~ D/sweeps_used:
-a LATENCY lever for chips >> batch (one antibody on a big slice), never a
-throughput lever — throughput-optimal remains the sequential scan with
-batch/data parallelism.  Memory: the state at every grid position is alive
-at once (dominated by prev_pair, num_steps x B x L x L x C_pair), which
-also shards over the mesh's time axis.
+Cost model — one sweep costs num_steps step-evaluations, so total work is
+sweeps_used x the sequential work and wall-clock speedup on D chips is
+~ D/sweeps_used.  **MEASURED ON-CHIP (round 5, runs/picard_probe +
+BASELINE.md): sweeps_used = num_t at the flagship shape** — the per-sweep
+delta falls one grid position per sweep because a single diverged
+tau-leap jump site keeps all downstream positions diverged until the
+exact prefix reaches them (the ParaDiGMS near-contraction assumption
+fails on the discrete track of the joint SE(3) x CTMC state).  Projected
+v5e-8 latency is 7-8x WORSE than the sequential scan, and the num_t=100
+whole-grid program exceeds single-chip compile/memory limits.  This
+module is therefore a correctness-validated deterministic-replay
+capability and a measured negative result, NOT a latency lever; use
+batch/data parallelism for latency and throughput.  Memory: the state at
+every grid position is alive at once (dominated by prev_pair,
+num_steps x B x L x L x C_pair), sharded over the mesh's time axis.
 
 Exactness: run to `tol=0.0` (bitwise sweep-to-sweep fixpoint) and the
 output IS the sequential sampler's output for the same injected noise, up
