@@ -457,6 +457,18 @@ class TestSharedNoiseSamplingParity:
         assert res['seq_equal'].all(), res['seq_equal']
         assert res['bb_dev'].max() <= 0.1, res['bb_dev']
 
+    def test_optimize_mode_recycling_parity(self):
+        # Cross-term: optimize mode's truncated grid + forward-corrupted
+        # init TOGETHER WITH the 3-pass recycling path (the released
+        # antibody-optimization protocol runs both at once).  The
+        # recycled-seq_t reverse input interacts with the truncated grid's
+        # final-step handling — neither single-feature test covers the
+        # combination.
+        res = run_shared_noise_parity(num_t=25, generate_area='cdr',
+                                      opt_step=6, num_recycle=2)
+        assert res['seq_equal'][-1], 'final sequences differ'
+        assert res['final_bb_dev'] <= 0.1, res['final_bb_dev']
+
     def test_optimize_mode_parity(self):
         # Optimize mode: forward-corrupt to t = 8/25, reverse on the
         # truncated grid.  The drained-queue asserts inside the harness
