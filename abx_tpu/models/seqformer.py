@@ -501,6 +501,22 @@ class TriangleMultiplication(nn.Module):
                                                 per_row=per_row)
                 return tri_mult_post(out, fscale, fbias, wout, bout, fg,
                                      act, y_c_major=True)
+            from abx_tpu.ops.registry import use_trimult_gatefold
+            if use_trimult_gatefold():
+                # Gate-fold path: the fgate never crosses HBM — post
+                # recomputes it from the residual with the pre LN params
+                # (ops/registry.use_trimult_gatefold).
+                from abx_tpu.ops.tri_mult import tri_mult_post_gatefold
+                w4 = jnp.concatenate([k for k, _ in branches[:4]], axis=-1)
+                wb4 = jnp.concatenate([b for _, b in branches[:4]])
+                wg, wgb = branches[4]
+                left, right = tri_mult_pre(act, scale, ln_bias, w4, wb4,
+                                           mask, emit_fgate=False)
+                out = triangle_multiply(left, right, per_row=per_row,
+                                        use_pallas=use_pallas_triangle())
+                return tri_mult_post_gatefold(out, fscale, fbias, wout,
+                                              bout, scale, ln_bias, wg,
+                                              wgb, act)
             left, right, fg = tri_mult_pre(act, scale, ln_bias, w, wb, mask)
             out = triangle_multiply(left, right, per_row=per_row,
                                     use_pallas=use_pallas_triangle())

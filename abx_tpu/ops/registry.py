@@ -153,3 +153,18 @@ def esm_fc1_slice_barrier() -> bool:
     copy per layer-pass (~11 GB/step) that exceeds the fused-slice GEMM
     penalty; XLA's fused form is the optimum here."""
     return os.environ.get('ABX_ESM_FC1_SLICE_BARRIER', '0') == '1'
+
+
+def use_trimult_gatefold() -> bool:
+    """MEASURED A WASH, default off (round-5 A/B, B=4 num_t=20,
+    back-to-back): 46.89 batch-steps/s vs 47.63 baseline (-1.6%, inside
+    tunnel spread).  Recomputing the tri-mult final gate inside
+    tri_mult_post from the residual (already VMEM-resident for the +res
+    epilogue) removes one full pair-tensor write + read per instance
+    (~1.5 GB/step, ~1.9 ms/step byte floor), but the in-VMEM LN + (C, C)
+    projection serialises with the block pipeline and eats the saving —
+    consistent with the floor note's conclusion that the remaining gap is
+    achieved-bandwidth, not missing fusions.  Kept (interpret-tested,
+    `test_gatefold_path_matches_emitted_fgate`) as a documented neutral
+    result."""
+    return os.environ.get('ABX_TRIMULT_GATEFOLD', '0') == '1'

@@ -36,14 +36,14 @@ def _ln(x, scale, bias, eps):
 
 
 def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
-                left_ref, right_ref, fg_ref, *, eps: float, nc: int,
-                c_major: bool):
+                left_ref, right_ref, *rest, eps: float, nc: int,
+                c_major: bool, emit_fgate: bool):
     x = x_ref[0]                                   # (RB, L, C)
     ln = _ln(x, s_ref[0], b_ref[0], eps).astype(x.dtype)
     dims = (((2,), (0,)), ((), ()))
     y = jax.lax.dot_general(ln, w_ref[...], dims,
                             preferred_element_type=jnp.float32)
-    y = y + wb_ref[0]                              # (RB, L, 4*nc + C)
+    y = y + wb_ref[0]                              # (RB, L, 4*nc [+ C])
     # mrow holds ALL rows (full-dim block keeps Mosaic legal for any
     # row_block, incl. RB=4 in f32); ref-level dynamic slice picks this
     # program's rows.
@@ -62,30 +62,36 @@ def _pre_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, mrow_ref, mcol_ref,
     else:
         left_ref[0] = left.astype(left_ref.dtype)
         right_ref[0] = right.astype(right_ref.dtype)
-    fg_ref[0] = y[..., 4 * nc:].astype(fg_ref.dtype)
+    if emit_fgate:
+        rest[0][0] = y[..., 4 * nc:].astype(rest[0].dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('row_block', 'eps',
-                                             'c_major', 'interpret'))
+                                             'c_major', 'emit_fgate',
+                                             'interpret'))
 def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
                  eps: float = 1e-5, c_major: bool = False,
+                 emit_fgate: bool = True,
                  interpret: bool = False):
     """LN -> fused [left|right|lgate|rgate|fgate] projection -> gating/mask.
 
     Args:
         x: (B, R, L, C) pair activations (R == L).
         scale, bias: (C,) LayerNorm params.
-        w: (C, 4*nc + C) fused kernel, wb: matching bias.
+        w: (C, 4*nc + C) fused kernel, wb: matching bias — or (C, 4*nc)
+            when `emit_fgate=False` (the gate-fold path recomputes the
+            final gate inside tri_mult_post_gatefold, so the (B, R, L, C)
+            fgate tensor never crosses HBM).
         mask: (B, L) sequence mask.
         c_major: emit left/right as (B, nc, R, L) — the exact operand
             layout of the C-batched triangle-contraction GEMM, so XLA
             emits no transpose copies around the contraction.
     Returns: (left, right) each (B, R, L, nc) gated+masked — or
-        (B, nc, R, L) when `c_major` — and fg (B, R, L, C) PRE-sigmoid
-        final-gate activations.
+        (B, nc, R, L) when `c_major` — and, when `emit_fgate`, fg
+        (B, R, L, C) PRE-sigmoid final-gate activations.
     """
     b, r, l, c = x.shape
-    nc = (w.shape[-1] - c) // 4
+    nc = ((w.shape[-1] - c) // 4) if emit_fgate else (w.shape[-1] // 4)
     if row_block is None:
         row_block = 8 if x.dtype == jnp.bfloat16 else 4
     rpad = (-r) % row_block
@@ -111,8 +117,15 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
         lr_spec = pl.BlockSpec((1, row_block, l, nc),
                                lambda bb, rr: (bb, rr, 0, 0))
         lr_shape = jax.ShapeDtypeStruct((b, rp, l, nc), dt)
+    out_specs = [lr_spec, lr_spec]
+    out_shape = [lr_shape, lr_shape]
+    if emit_fgate:
+        out_specs.append(pl.BlockSpec((1, row_block, l, c),
+                                      lambda bb, rr: (bb, rr, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, rp, l, c), dt))
     out = pl.pallas_call(
-        functools.partial(_pre_kernel, eps=eps, nc=nc, c_major=c_major),
+        functools.partial(_pre_kernel, eps=eps, nc=nc, c_major=c_major,
+                          emit_fgate=emit_fgate),
         grid=grid,
         in_specs=[
             x_spec, const((1, c)), const((1, c)),
@@ -120,21 +133,19 @@ def tri_mult_pre(x, scale, bias, w, wb, mask, row_block=None,
             pl.BlockSpec((1, rp, 1), lambda bb, rr: (bb, 0, 0)),
             pl.BlockSpec((1, 1, l), lambda bb, rr: (bb, 0, 0)),
         ],
-        out_specs=[
-            lr_spec, lr_spec,
-            pl.BlockSpec((1, row_block, l, c),
-                         lambda bb, rr: (bb, rr, 0, 0)),
-        ],
-        out_shape=[
-            lr_shape, lr_shape,
-            jax.ShapeDtypeStruct((b, rp, l, c), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, row(scale), row(bias), w.astype(dt), row(wb), mrow, mcol)
-    left, right, fg = out
+    if emit_fgate:
+        left, right, fg = out
+        if c_major:
+            return left[:, :, :r], right[:, :, :r], fg[:, :r]
+        return left[:, :r], right[:, :r], fg[:, :r]
+    left, right = out
     if c_major:
-        return left[:, :, :r], right[:, :, :r], fg[:, :r]
-    return left[:, :r], right[:, :r], fg[:, :r]
+        return left[:, :, :r], right[:, :, :r]
+    return left[:, :r], right[:, :r]
 
 
 def _post_kernel(y_ref, s_ref, b_ref, w_ref, wb_ref, fg_ref, res_ref,
@@ -204,6 +215,85 @@ def tri_mult_post(y, scale, bias, w, wb, fg, res, row_block=None,
         interpret=interpret,
     )(y, row(scale), row(bias), w.astype(y.dtype), row(wb), fg, res)
     return out[:, :r]
+
+
+def _post_gatefold_kernel(y_ref, s_ref, b_ref, w_ref, wb_ref, sx_ref,
+                          bx_ref, wg_ref, wgb_ref, res_ref, out_ref, *,
+                          eps: float):
+    y = y_ref[0]                                   # (RB, L, nc)
+    res = res_ref[0]                               # (RB, L, C)
+    ln = _ln(y, s_ref[0], b_ref[0], eps).astype(y.dtype)
+    dims = (((2,), (0,)), ((), ()))
+    o = jax.lax.dot_general(ln, w_ref[...], dims,
+                            preferred_element_type=jnp.float32)
+    o = o + wb_ref[0]
+    # Final gate recomputed from the residual (== the pre kernel's input):
+    # LN with the PRE LayerNorm params, then the fgate projection — the
+    # (B, R, L, C) pre-sigmoid gate tensor never crosses HBM.  (The gate
+    # stays f32 here; the emitted-fgate path rounds it through the pair
+    # dtype in HBM — a strictly-less-precise variant of the same value.)
+    lnx = _ln(res, sx_ref[0], bx_ref[0], eps).astype(res.dtype)
+    fg = jax.lax.dot_general(lnx, wg_ref[...], dims,
+                             preferred_element_type=jnp.float32)
+    fg = fg + wgb_ref[0]
+    o = o * jax.nn.sigmoid(fg)
+    out_ref[0] = (o + res.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('row_block', 'eps',
+                                             'interpret'))
+def tri_mult_post_gatefold(y, scale, bias, w, wb, x_scale, x_bias, wg, wgb,
+                           res, row_block=None, eps: float = 1e-5,
+                           interpret: bool = False):
+    """tri_mult_post with the final gate recomputed in-kernel from `res`.
+
+    Saves one full write (pre) + read (post) of the (B, R, L, C) fgate
+    tensor per instance at the cost of an in-VMEM LN + (C, C) projection
+    of the residual block (which is already resident for the +res
+    epilogue).  `x_scale`/`x_bias` are the PRE kernel's LayerNorm params;
+    `wg`/`wgb` the final-gate projection.
+    """
+    b, r, l, nc = y.shape
+    c = w.shape[-1]
+    if row_block is None:
+        row_block = 8 if y.dtype == jnp.bfloat16 else 4
+    rpad = (-r) % row_block
+    if rpad:
+        pad4 = [(0, 0), (0, rpad), (0, 0), (0, 0)]
+        y = jnp.pad(y, pad4)
+        res = jnp.pad(res, pad4)
+    rp = r + rpad
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    grid = (b, rp // row_block)
+    spec = lambda ch: pl.BlockSpec((1, row_block, l, ch),
+                                   lambda bb, rr: (bb, rr, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda bb, rr: (0,) * len(shape))
+    out = pl.pallas_call(
+        functools.partial(_post_gatefold_kernel, eps=eps),
+        grid=grid,
+        in_specs=[spec(nc), const((1, nc)), const((1, nc)),
+                  const((nc, c)), const((1, c)),
+                  const((1, c)), const((1, c)),
+                  const((c, c)), const((1, c)), spec(c)],
+        out_specs=spec(c),
+        out_shape=jax.ShapeDtypeStruct((b, rp, l, c), res.dtype),
+        interpret=interpret,
+    )(y, row(scale), row(bias), w.astype(y.dtype), row(wb),
+      row(x_scale), row(x_bias), wg.astype(res.dtype), row(wgb), res)
+    return out[:, :r]
+
+
+def tri_mult_post_gatefold_reference(y, scale, bias, w, wb, x_scale,
+                                     x_bias, wg, wgb, res,
+                                     eps: float = 1e-5):
+    """Plain-XLA semantics twin of tri_mult_post_gatefold."""
+    ln = _ln(y, scale, bias, eps).astype(y.dtype)
+    o = jnp.dot(ln, w.astype(y.dtype)).astype(jnp.float32) + wb
+    lnx = _ln(res, x_scale, x_bias, eps).astype(res.dtype)
+    fg = jnp.dot(lnx, wg.astype(res.dtype)).astype(jnp.float32) + wgb
+    o = o * jax.nn.sigmoid(fg)
+    return (o + res.astype(jnp.float32)).astype(res.dtype)
 
 
 def tri_mult_pre_reference(x, scale, bias, w, wb, mask, eps: float = 1e-5):

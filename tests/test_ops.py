@@ -156,6 +156,56 @@ class TestTriMultKernels:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_gatefold_path_matches_emitted_fgate(self):
+        """pre(emit_fgate=False) -> contraction -> post_gatefold equals the
+        emitted-fgate composite (fgate recomputed in-kernel from the
+        residual with the pre LN params), including row padding."""
+        from abx_tpu.ops.tri_mult import (
+            tri_mult_post, tri_mult_post_gatefold,
+            tri_mult_post_gatefold_reference, tri_mult_pre)
+        from abx_tpu.ops.triangle import triangle_multiply_einsum
+        rng = np.random.RandomState(9)
+        b, l, c, nc = 1, 14, 24, 8
+        x = jnp.asarray(rng.randn(b, l, l, c), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(c, 4 * nc + c), jnp.float32)
+        wb = jnp.asarray(0.1 * rng.randn(4 * nc + c), jnp.float32)
+        mask = jnp.ones((b, l)).at[:, -1:].set(0)
+        fscale = jnp.asarray(1.0 + 0.1 * rng.randn(nc), jnp.float32)
+        fbias = jnp.asarray(0.1 * rng.randn(nc), jnp.float32)
+        wout = jnp.asarray(0.1 * rng.randn(nc, c), jnp.float32)
+        bout = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+
+        for per_row in (True, False):
+            # Emitted-fgate composite (the shipped default path).
+            left, right, fg = tri_mult_pre(x, scale, bias, w, wb, mask,
+                                           row_block=4, interpret=True)
+            y = triangle_multiply_einsum(left, right, per_row=per_row)
+            want = tri_mult_post(y, fscale, fbias, wout, bout, fg, x,
+                                 row_block=4, interpret=True)
+            # Gate-fold composite: fgate block of w/wb split out.
+            w4, wg = w[:, :4 * nc], w[:, 4 * nc:]
+            wb4, wgb = wb[:4 * nc], wb[4 * nc:]
+            l2, r2 = tri_mult_pre(x, scale, bias, w4, wb4, mask,
+                                  row_block=4, emit_fgate=False,
+                                  interpret=True)
+            np.testing.assert_allclose(np.asarray(l2), np.asarray(left),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(r2), np.asarray(right),
+                                       rtol=2e-5, atol=2e-5)
+            y2 = triangle_multiply_einsum(l2, r2, per_row=per_row)
+            got = tri_mult_post_gatefold(y2, fscale, fbias, wout, bout,
+                                         scale, bias, wg, wgb, x,
+                                         row_block=4, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+            # And the twin.
+            tw = tri_mult_post_gatefold_reference(
+                y2, fscale, fbias, wout, bout, scale, bias, wg, wgb, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(tw),
+                                       rtol=2e-5, atol=2e-5)
+
     def test_c_major_path_matches_row_major(self):
         """pre(c_major) -> c-major contraction -> post(y_c_major) gives the
         same result as the row-major path, both orientations — including
