@@ -120,3 +120,57 @@ def test_trainer_restore_prefers_newer_orbax(tmp_path):
     restored = trainer.load_train_state(ckpt, params)
     assert int(restored['step']) == 9
     np.testing.assert_allclose(restored['params']['params']['w'], 9.0)
+
+
+def test_save_params_atomic_no_tmp_left(tmp_path):
+    """save_params writes tmp+rename (round-5 fix: a SIGKILL mid-write in
+    the multi-complex rehearsal left a truncated .train msgpack that broke
+    --resume); after a successful save no .tmp sibling remains."""
+    params = {'params': {'w': jnp.ones((4,))}}
+    path = str(tmp_path / 'p.msgpack')
+    ckpt_lib.save_params(path, params)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + '.tmp')
+    # Overwrite is atomic too: the final file is always a COMPLETE msgpack.
+    ckpt_lib.save_params(path, {'params': {'w': 2.0 * jnp.ones((4,))}})
+    restored = ckpt_lib.load_params(path, params)
+    np.testing.assert_allclose(restored['params']['w'], 2.0)
+
+
+def test_trainer_resume_tolerates_truncated_train_file(tmp_path):
+    """A truncated .train checkpoint (pre-atomic-write survivor or partial
+    copy) must not abort resume: load_train_state falls back to orbax when
+    present, and raises a clear FileNotFoundError when nothing restorable
+    exists."""
+    import types
+
+    import pytest
+
+    from abx_tpu.config import tiny_model_config
+    from abx_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = tiny_model_config()
+    model = types.SimpleNamespace(antibody_len=8, dtype=jnp.float32)
+    trainer = Trainer(model, None, cfg.model, cfg.loss,
+                      TrainConfig(ema_decay=0.0))
+    params = {'params': {'w': jnp.ones((3,))}}
+    state = trainer.init_state(params)
+
+    ckpt = str(tmp_path / 'params.msgpack')
+    trainer._save(ckpt, dict(state, step=jnp.asarray(4)))
+    # Truncate the .train file to simulate the mid-write kill.
+    with open(ckpt + '.train', 'r+b') as f:
+        f.truncate(os.path.getsize(ckpt + '.train') // 2)
+
+    if ckpt_lib.orbax_available():
+        ck = ckpt_lib.OrbaxCheckpointer(ckpt + '.orbax')
+        ck.save(7, dict(state, step=jnp.asarray(7)))
+        ck.wait()
+        ck.close()
+        restored = trainer.load_train_state(ckpt, params)
+        assert int(restored['step']) == 7
+        import shutil
+        shutil.rmtree(ckpt + '.orbax')
+
+    with pytest.raises(FileNotFoundError):
+        trainer.load_train_state(ckpt, params)
