@@ -121,6 +121,12 @@ def main():
     p.add_argument('--esm_checkpoint', type=str, default=None,
                    help='frozen ESM2 conditioning during training (the '
                         "reference's configuration); fair-esm .pt checkpoint")
+    p.add_argument('--esm_random', action='store_true',
+                   help='frozen RANDOM-weight ESM2 conditioning (smoke/'
+                        'perf studies when no checkpoint is available; '
+                        'shape via --esm_layers/--esm_dim)')
+    p.add_argument('--esm_layers', type=int, default=None)
+    p.add_argument('--esm_dim', type=int, default=None)
     p.add_argument('--tiny', action='store_true')
     p.add_argument('--platform', type=str, default=None)
     p.add_argument('--verbose', action='store_true')
@@ -133,7 +139,10 @@ def main():
 
     rt = runner.build_runtime(args.model_config, args.init_checkpoint,
                               tiny=args.tiny, seed=args.seed,
-                              esm_checkpoint=args.esm_checkpoint)
+                              esm_checkpoint=args.esm_checkpoint,
+                              esm_random=args.esm_random,
+                              esm_layers=args.esm_layers,
+                              esm_dim=args.esm_dim)
     if args.is_cluster_idx:
         names = parse_cluster_file(args.name_idx)
     else:
